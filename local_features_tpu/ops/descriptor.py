@@ -1,0 +1,170 @@
+"""MKD descriptor extraction on TPU.
+
+TPU-first redesign of the reference's extract kernels:
+
+- shaders/mkd/patch_gradients.glsl (rotated/scaled patch sampling via
+  textureLod + in-shared-memory blur + gradients) becomes a batched
+  bilinear gather from the flat mip pyramid plus fused elementwise math
+  over [K, 32, 32] arrays.
+- shaders/mkd/embedding{_polar,_cartesian}.glsl (workgroup-per-patch dot
+  products with subgroup reductions) becomes two MXU matmuls against the
+  precomputed [1024, 25] / [1024, 9] spatial-kernel planes — the kernelized
+  pooling IS a matrix product, which the MXU does at speed of light.
+- shaders/mkd/normalize.glsl, whitening.glsl, normalize_final.glsl become
+  row-wise vector math + one [K, 238] x [238, 128] matmul.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+
+def _clip_conv_5tap(p: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable 5-tap conv with replicate border on [..., 32, 32] patches.
+
+    Vertical pass then horizontal, matching mkd_ref.rs:108-127 and
+    patch_gradients.glsl:74-95.
+    """
+    n = p.shape[-1]
+    rad = (len(kernel) - 1) // 2
+    out = jnp.zeros_like(p)
+    for i, k in enumerate(kernel):
+        idx = np.clip(np.arange(n) + i - rad, 0, n - 1)
+        out = out + float(k) * p[..., idx, :]
+    p2 = out
+    out = jnp.zeros_like(p)
+    for i, k in enumerate(kernel):
+        idx = np.clip(np.arange(n) + i - rad, 0, n - 1)
+        out = out + float(k) * p2[..., :, idx]
+    return out
+
+
+def _mirror_idx(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """MirroredRepeat index wrap with *dynamic* extent n (per-keypoint mip)."""
+    m = jnp.mod(i, 2 * n)
+    return jnp.where(m >= n, 2 * n - 1 - m, m)
+
+
+def sample_patches(
+    pyr,
+    kx: jnp.ndarray,
+    ky: jnp.ndarray,
+    ksize: jnp.ndarray,
+    kangle_deg: jnp.ndarray,
+    kvalid: jnp.ndarray,
+    patch_scale_factor: jnp.ndarray | float = C.DEFAULT_PATCH_SCALE_FACTOR,
+) -> jnp.ndarray:
+    """[K, 32, 32] rotated/scaled patches from the flat mip pyramid.
+
+    Per-keypoint mip level = floor(log2(size * psf / 32)) with residual
+    scale applied in the rotation grid (patch_gradients.glsl:46-70);
+    bilinear sampling with mirror border at pixel-center coordinates.
+    """
+    K = kx.shape[0]
+    psf = jnp.asarray(patch_scale_factor, jnp.float32)
+    scale = jnp.maximum(ksize, 1e-6) * psf / C.PATCH_SIZE
+    log2s = jnp.log2(scale)
+    level = jnp.clip(jnp.floor(log2s), 0, pyr.n_levels - 1).astype(jnp.int32)
+    rem = jnp.exp2(log2s - level.astype(jnp.float32))      # [K]
+
+    theta = jnp.deg2rad(kangle_deg)
+    ct, st = jnp.cos(theta), jnp.sin(theta)                # [K]
+    ps2 = C.PATCH_SIZE / 2.0
+    lx = jnp.arange(C.PATCH_SIZE, dtype=jnp.float32)[None, :] - ps2  # [1,32]
+    ly = jnp.arange(C.PATCH_SIZE, dtype=jnp.float32)[:, None] - ps2  # [32,1]
+    xx = lx[None] * ct[:, None, None] - ly[None] * st[:, None, None]
+    yy = lx[None] * st[:, None, None] + ly[None] * ct[:, None, None]
+    inv = jnp.exp2(-level.astype(jnp.float32))
+    sx = xx * rem[:, None, None] + (kx * inv)[:, None, None]
+    sy = yy * rem[:, None, None] + (ky * inv)[:, None, None]
+
+    w = pyr.widths[level][:, None, None]
+    h = pyr.heights[level][:, None, None]
+    base = pyr.offsets[level][:, None, None]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def at(xi, yi):
+        xm = _mirror_idx(xi, w)
+        ym = _mirror_idx(yi, h)
+        return jnp.take(pyr.flat, base + ym * w + xm, axis=0)
+
+    patch = ((1 - fy) * ((1 - fx) * at(x0, y0) + fx * at(x0 + 1, y0))
+             + fy * ((1 - fx) * at(x0, y0 + 1) + fx * at(x0 + 1, y0 + 1)))
+    return jnp.where(kvalid[:, None, None], patch, 0.0)
+
+
+def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Blur + negated gradients + (mag^(1/2), -atan2) for [K, 32, 32]."""
+    p = _clip_conv_5tap(patches, C.PATCH_BLUR_KERNEL)
+    n = C.PATCH_SIZE
+    xm = np.clip(np.arange(n), 1, n - 1) - 1
+    xp = np.clip(np.arange(n), 0, n - 2) + 1
+    gx = p[..., :, xm] - p[..., :, xp]
+    gy = p[..., xp, :] - p[..., xm, :]
+    eps = 1e-8
+    mag = jnp.sqrt(jnp.sqrt(gx * gx + gy * gy + eps))
+    ang = -jnp.arctan2(gy, gx)
+    return mag, ang
+
+
+def _von_mises_lift(ang: jnp.ndarray, mag: jnp.ndarray) -> jnp.ndarray:
+    """[K, 7, 1024] von Mises lift x magnitude (embedding.glsl:44-54)."""
+    K = ang.shape[0]
+    a = ang.reshape(K, -1)
+    m = mag.reshape(K, -1)
+    c = C.VM_FOURIER_N3_K8
+    comps = [jnp.full_like(a, c[0]),
+             float(c[1]) * jnp.cos(a), float(c[2]) * jnp.cos(2 * a),
+             float(c[3]) * jnp.cos(3 * a),
+             float(c[1]) * jnp.sin(a), float(c[2]) * jnp.sin(2 * a),
+             float(c[3]) * jnp.sin(3 * a)]
+    return jnp.stack(comps, axis=1) * m[:, None, :]
+
+
+def raw_mkd_descriptors(patches: jnp.ndarray) -> jnp.ndarray:
+    """[K, 238] raw MKD descriptors from [K, 32, 32] patches."""
+    K = patches.shape[0]
+    mag, ang = patches_mag_angle(patches)
+
+    ga = jnp.asarray(C.gradient_angle_table())
+    lift_rel = _von_mises_lift(ang + ga[None], mag)         # [K, 7, 1024]
+    lift = _von_mises_lift(ang, mag)
+
+    polar_planes = jnp.asarray(C.polar_embedding_planes().reshape(25, -1).T)
+    cart_planes = jnp.asarray(C.cart_embedding_planes().reshape(9, -1).T)
+
+    polar = jnp.dot(lift_rel.reshape(K * 7, -1), polar_planes,
+                    preferred_element_type=jnp.float32).reshape(K, 175)
+    cart = jnp.dot(lift.reshape(K * 7, -1), cart_planes,
+                   preferred_element_type=jnp.float32).reshape(K, 63)
+
+    def l2(v):
+        return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+    polar = l2(polar)
+    cart = l2(cart)
+    return l2(jnp.concatenate([polar, cart], axis=-1))
+
+
+def mkd_descriptors(
+    patches: jnp.ndarray,
+    mean: jnp.ndarray,
+    proj: jnp.ndarray,
+    kvalid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[K, 128] whitened, L2-normalized descriptors."""
+    raw = raw_mkd_descriptors(patches)
+    d = jnp.dot(raw - mean[None, :], proj, preferred_element_type=jnp.float32)
+    d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    if kvalid is not None:
+        d = jnp.where(kvalid[:, None], d, 0.0)
+    return d

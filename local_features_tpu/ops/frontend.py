@@ -1,0 +1,109 @@
+"""The full detect -> filter -> orient -> describe front-end as one
+jit-able function.
+
+TPU-first structural shift vs the reference: the GPU version needs 3
+submits with host sync points (detect graph -> host blob filter -> extract
+graph, vulkan/mod.rs:363-594) because the blob filter runs on the CPU.
+On TPU the default top-n-by-contrast filter runs on device
+(jax.lax.top_k), so the WHOLE per-frame pipeline is a single compiled XLA
+program with zero host round-trips.  The host-callback filter escape hatch
+(`FilterBlobs`) is preserved at the API layer (api.py) by splitting at the
+same two-phase boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .descriptor import mkd_descriptors, sample_patches
+from .detect import BlobArrays, detect_blobs
+from .orientation import KeypointArrays, keypoints_from_blobs
+from .pyramid import patch_pyramid
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Static (jit-time) configuration — the analog of BuildTimeParams
+    (lib.rs:55-75) + the fixed algorithm constants."""
+
+    n_scales: int = 4
+    max_blobs: int = 8000
+    max_keypoints: int = 2000
+    # capacity of the filtered-blob set fed to orientation;
+    # detect_top_n only ever needs max_keypoints slots, detect-all needs
+    # max_blobs.
+    max_filtered: int = 2000
+    border: int = C.DETECT_BORDER
+    contrast_threshold: float = C.CONTRAST_THRESHOLD
+
+
+class FrontendResult(NamedTuple):
+    x: jnp.ndarray          # [K]
+    y: jnp.ndarray          # [K]
+    size: jnp.ndarray       # [K]
+    angle: jnp.ndarray      # [K]
+    response: jnp.ndarray   # [K]
+    valid: jnp.ndarray      # [K] bool
+    descriptors: jnp.ndarray  # [K, 128]
+    n_keypoints: jnp.ndarray  # [] i32 (capped)
+    n_blobs: jnp.ndarray      # [] i32 blobs pre-capacity
+    dropped_blobs: jnp.ndarray    # [] i32
+    dropped_features: jnp.ndarray  # [] i32
+
+
+def _truncate_blobs(blobs: BlobArrays, n_slots: int, top_n) -> BlobArrays:
+    """Keep the first n_slots blob slots (they are sorted by |contrast|
+    desc) and mask to the runtime top_n count."""
+    cut = lambda a: a[:n_slots]
+    rank_ok = jnp.arange(n_slots) < top_n
+    return BlobArrays(
+        x=cut(blobs.x), y=cut(blobs.y), size=cut(blobs.size),
+        contrast=cut(blobs.contrast), level=cut(blobs.level),
+        valid=cut(blobs.valid) & rank_ok,
+        n_total=blobs.n_total, n_dropped=blobs.n_dropped,
+    )
+
+
+def detect_extract(
+    img: jnp.ndarray,
+    cfg: FrontendConfig,
+    pca_mean: jnp.ndarray,
+    pca_proj: jnp.ndarray,
+    top_n: jnp.ndarray | int,
+    min_size: jnp.ndarray | float,
+    patch_scale_factor: jnp.ndarray | float = C.DEFAULT_PATCH_SCALE_FACTOR,
+) -> FrontendResult:
+    """Full single-image front-end.  `top_n`, `min_size` and
+    `patch_scale_factor` are runtime (traced) values; everything in `cfg`
+    is compile-time static."""
+    from .scale_space import fine_volume, scale_space
+
+    coarse = scale_space(img, cfg.n_scales)
+    fine = fine_volume(coarse)
+
+    blobs = detect_blobs(
+        fine, cfg.max_blobs, min_size, cfg.border, cfg.contrast_threshold
+    )
+    filtered = _truncate_blobs(blobs, cfg.max_filtered, top_n)
+
+    kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints)
+
+    pyr = patch_pyramid(coarse)
+    patches = sample_patches(
+        pyr, kps.x, kps.y, kps.size, kps.angle, kps.valid, patch_scale_factor
+    )
+    desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid)
+
+    return FrontendResult(
+        x=kps.x, y=kps.y, size=kps.size, angle=kps.angle,
+        response=kps.response, valid=kps.valid, descriptors=desc,
+        n_keypoints=jnp.sum(kps.valid, dtype=jnp.int32),
+        n_blobs=blobs.n_total,
+        dropped_blobs=blobs.n_dropped,
+        dropped_features=kps.n_dropped,
+    )

@@ -1,0 +1,63 @@
+"""Golden-parity tests for the extremum scan + refinement + compaction."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from local_features_tpu import golden
+import local_features_tpu.ops.scale_space as jss
+from local_features_tpu.ops.detect import detect_blobs
+
+
+def _blob_sets(test_image, min_size=0.0):
+    g_coarse = golden.scale_space(test_image, 4)
+    g_fine = golden.fine_volume(g_coarse)
+    g = golden.scan_extrema(g_fine)
+
+    fine = jss.fine_volume(jss.scale_space(jnp.asarray(test_image), 4))
+    j = detect_blobs(fine, max_blobs=256, min_size=min_size)
+    valid = np.asarray(j.valid)
+    return g, {k: np.asarray(getattr(j, k))[valid]
+               for k in ("x", "y", "size", "contrast", "level")}
+
+
+def test_detect_matches_golden(test_image):
+    g, j = _blob_sets(test_image)
+    assert len(j["x"]) == len(g.x) > 3
+
+    # match by sorting both sets on (level, y, x)
+    def order(x, y, lvl):
+        return np.lexsort((x, y, lvl))
+
+    og = order(g.x, g.y, g.level)
+    oj = order(j["x"], j["y"], j["level"])
+    np.testing.assert_allclose(j["x"][oj], g.x[og], atol=1e-3)
+    np.testing.assert_allclose(j["y"][oj], g.y[og], atol=1e-3)
+    np.testing.assert_allclose(j["size"][oj], g.size[og], rtol=1e-3)
+    np.testing.assert_allclose(j["contrast"][oj], g.contrast[og], atol=1e-4)
+
+
+def test_detect_sorted_by_contrast(test_image):
+    _, j = _blob_sets(test_image)
+    c = j["contrast"]
+    assert np.all(np.diff(c) <= 1e-7)
+
+
+def test_min_size_gate(test_image):
+    g, j = _blob_sets(test_image, min_size=3.0)
+    n_expected = int((g.size >= 3.0).sum())
+    assert len(j["x"]) == n_expected
+    assert np.all(j["size"] >= 3.0)
+
+
+def test_capacity_and_drop_counter(test_image):
+    fine = jss.fine_volume(jss.scale_space(jnp.asarray(test_image), 4))
+    j_all = detect_blobs(fine, max_blobs=256)
+    n_total = int(j_all.n_total)
+    cap = max(1, n_total - 2)
+    j_cap = detect_blobs(fine, max_blobs=cap)
+    assert int(j_cap.n_dropped) == n_total - cap
+    assert int(np.asarray(j_cap.valid).sum()) == cap
+    # capacity keeps the strongest blobs
+    c_all = np.sort(np.asarray(j_all.contrast)[np.asarray(j_all.valid)])[::-1]
+    c_cap = np.sort(np.asarray(j_cap.contrast)[np.asarray(j_cap.valid)])[::-1]
+    np.testing.assert_allclose(c_cap, c_all[:cap], atol=1e-7)
