@@ -1,0 +1,85 @@
+"""Matching tests: synthetic-shift correctness + real-image smoke test."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from local_features_tpu.api import LocalFeatures
+from local_features_tpu.ops.matching import match_descriptors, mutual_match
+
+
+def test_match_identity():
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((64, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    m = match_descriptors(jnp.asarray(d), jnp.asarray(d), ratio=0.8)
+    idx = np.asarray(m.indices)
+    mask = np.asarray(m.mask)
+    assert mask.all()
+    np.testing.assert_array_equal(idx, np.arange(64))
+
+
+def test_mutual_match_validity():
+    rng = np.random.default_rng(1)
+    da = rng.standard_normal((32, 128)).astype(np.float32)
+    da /= np.linalg.norm(da, axis=1, keepdims=True)
+    db = np.concatenate([da[16:], rng.standard_normal((16, 128)).astype(np.float32)])
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    valid_a = np.ones(32, bool)
+    valid_b = np.ones(32, bool)
+    m = mutual_match(jnp.asarray(da), jnp.asarray(db),
+                     jnp.asarray(valid_a), jnp.asarray(valid_b))
+    idx = np.asarray(m.indices)
+    # rows 16..31 of A are rows 0..15 of B
+    for i in range(16, 32):
+        assert idx[i] == i - 16
+
+
+def test_detect_match_shifted(test_image):
+    """Features detected on an image and its translate should match with
+    the correct offset."""
+    shift = 8
+    img_a = test_image[:, :-shift]
+    img_b = test_image[:, shift:]
+    lf = LocalFeatures(n_scales=4, max_features=256, max_blobs=1024)
+    ra = lf.detect_top_n(img_a, 100)
+    rb = lf.detect_top_n(img_b, 100)
+    assert len(ra) > 5 and len(rb) > 5
+    m = match_descriptors(jnp.asarray(ra.descriptors),
+                          jnp.asarray(rb.descriptors), ratio=0.8)
+    idx = np.asarray(m.indices)
+    mask = np.asarray(m.mask)
+    assert mask.sum() >= 5
+    good = 0
+    for i in np.flatnonzero(mask):
+        j = idx[i]
+        dx = ra.x[i] - rb.x[j]
+        dy = ra.y[i] - rb.y[j]
+        if abs(dx - shift) < 1.0 and abs(dy) < 1.0:
+            good += 1
+    assert good / mask.sum() > 0.8
+
+
+@pytest.mark.slow
+def test_real_images_smoke():
+    """Front-end + matching on the reference's sample images (downscaled)."""
+    from PIL import Image
+
+    def load(path, size=(160, 120)):
+        img = Image.open(path).convert("L").resize(size)
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+    try:
+        a = load("/root/reference/sample_data/bird.jpg")
+        b = load("/root/reference/sample_data/houses.jpg")
+    except FileNotFoundError:
+        pytest.skip("sample data not available")
+
+    lf = LocalFeatures(n_scales=3, max_features=512, max_blobs=2048)
+    ra = lf.detect_top_n(a, 300)
+    rb = lf.detect_top_n(b, 300)
+    assert len(ra) > 20 and len(rb) > 20
+    m = match_descriptors(jnp.asarray(ra.descriptors),
+                          jnp.asarray(rb.descriptors))
+    # different scenes: ratio test should kill most matches
+    assert np.asarray(m.mask).sum() < 0.5 * len(ra)

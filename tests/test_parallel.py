@@ -1,0 +1,63 @@
+"""Sharded/batched front-end tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from local_features_tpu.ops.frontend import FrontendConfig, detect_extract
+from local_features_tpu.parallel import (
+    batched_detect_extract,
+    make_mesh,
+    sharded_detect_extract,
+)
+from local_features_tpu.pca import load_pca
+
+
+def _cfg():
+    return FrontendConfig(n_scales=3, max_blobs=256, max_keypoints=128,
+                          max_filtered=128)
+
+
+def _batch(test_image, b=8):
+    rng = np.random.default_rng(7)
+    imgs = np.stack([
+        np.clip(test_image + 0.02 * rng.standard_normal(test_image.shape), 0, 1)
+        for _ in range(b)
+    ]).astype(np.float32)
+    return jnp.asarray(imgs)
+
+
+def test_vmap_batch_matches_single(test_image):
+    cfg = _cfg()
+    mean, proj = load_pca().attenuated
+    mean, proj = jnp.asarray(mean), jnp.asarray(proj)
+    imgs = _batch(test_image, b=4)
+    rb = batched_detect_extract(imgs, cfg, mean, proj, 128, 0.0, 24.0)
+    for i in range(4):
+        rs = detect_extract(imgs[i], cfg, mean, proj, 128, 0.0, 24.0)
+        assert int(rb.n_keypoints[i]) == int(rs.n_keypoints)
+        vb = np.asarray(rb.valid[i])
+        np.testing.assert_allclose(np.asarray(rb.x[i])[vb],
+                                   np.asarray(rs.x)[np.asarray(rs.valid)],
+                                   atol=1e-5)
+
+
+def test_sharded_matches_batched(test_image):
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    cfg = _cfg()
+    mesh = make_mesh()
+    mean, proj = load_pca().attenuated
+    mean, proj = jnp.asarray(mean), jnp.asarray(proj)
+    imgs = _batch(test_image, b=8)
+
+    run = sharded_detect_extract(mesh, cfg)
+    r_sh = run(imgs, mean, proj, jnp.int32(128), jnp.float32(0.0),
+               jnp.float32(24.0))
+    r_ref = batched_detect_extract(imgs, cfg, mean, proj, 128, 0.0, 24.0)
+
+    np.testing.assert_array_equal(np.asarray(r_sh.n_keypoints),
+                                  np.asarray(r_ref.n_keypoints))
+    np.testing.assert_allclose(np.asarray(r_sh.descriptors),
+                               np.asarray(r_ref.descriptors), atol=1e-5)
+    # outputs keep the batch sharding
+    assert len(r_sh.descriptors.sharding.device_set) == 8
