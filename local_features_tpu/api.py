@@ -41,8 +41,13 @@ class LocalFeatures:
         n_scales: int = 4,
         pca: str = "liberty",
         patch_scale_factor: float = C.DEFAULT_PATCH_SCALE_FACTOR,
+        sampler: str = "auto",
         interpret: bool = False,
     ):
+        if sampler == "auto":
+            # Pallas sampler on TPU; exact XLA gather elsewhere (CPU tests)
+            sampler = "pallas" if jax.default_backend() != "cpu" else "xla"
+        self.sampler = sampler
         self.max_image_width = max_image_width
         self.max_image_height = max_image_height
         self.max_features = int(max_features)
@@ -66,6 +71,7 @@ class LocalFeatures:
                 max_blobs=self.max_blobs,
                 max_keypoints=self.max_features,
                 max_filtered=self.max_blobs if all_blobs else self.max_features,
+                sampler=self.sampler,
             )
 
             @functools.partial(jax.jit, static_argnums=())

@@ -23,7 +23,7 @@ from .. import constants as C
 from .descriptor import mkd_descriptors, sample_patches
 from .detect import BlobArrays, detect_blobs
 from .orientation import KeypointArrays, keypoints_from_blobs
-from .pyramid import patch_pyramid
+from .pyramid import flat_pyramid, patch_pyramid_mips
 
 
 @dataclass(frozen=True)
@@ -40,6 +40,10 @@ class FrontendConfig:
     max_filtered: int = 2000
     border: int = C.DETECT_BORDER
     contrast_threshold: float = C.CONTRAST_THRESHOLD
+    # "pallas" = TPU window-DMA + one-hot-matmul sampler (bf16 pyramid,
+    # ~50x faster than the XLA gather); "xla" = exact f32 gather fallback.
+    sampler: str = "xla"
+
 
 
 class FrontendResult(NamedTuple):
@@ -93,10 +97,25 @@ def detect_extract(
 
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints)
 
-    pyr = patch_pyramid(coarse)
-    patches = sample_patches(
-        pyr, kps.x, kps.y, kps.size, kps.angle, kps.valid, patch_scale_factor
-    )
+    mips = patch_pyramid_mips(coarse)
+    if cfg.sampler == "pallas":
+        from ..pallas.sampling import build_canvas, sample_patches_pallas
+
+        canvas = build_canvas(mips)
+        import numpy as np
+
+        widths = jnp.asarray([m.shape[1] for m in mips], dtype=jnp.int32)
+        heights = jnp.asarray([m.shape[0] for m in mips], dtype=jnp.int32)
+        patches = sample_patches_pallas(
+            canvas, widths, heights, kps.x, kps.y, kps.size, kps.angle,
+            kps.valid, patch_scale_factor,
+        )
+    else:
+        pyr = flat_pyramid(mips)
+        patches = sample_patches(
+            pyr, kps.x, kps.y, kps.size, kps.angle, kps.valid,
+            patch_scale_factor,
+        )
     desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid)
 
     return FrontendResult(

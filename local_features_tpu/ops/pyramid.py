@@ -39,8 +39,10 @@ def pyramid_levels_for(height: int, width: int) -> int:
     return int(np.ceil(np.log2(min(height, width))))
 
 
-def patch_pyramid(coarse: jnp.ndarray, n_levels: int | None = None) -> FlatPyramid:
-    """Build the mip pyramid from the coarse scale-space stack."""
+def patch_pyramid_mips(
+    coarse: jnp.ndarray, n_levels: int | None = None
+) -> list[jnp.ndarray]:
+    """Mip list from the coarse scale-space stack."""
     _, h, w = coarse.shape
     if n_levels is None:
         n_levels = pyramid_levels_for(h, w)
@@ -49,7 +51,15 @@ def patch_pyramid(coarse: jnp.ndarray, n_levels: int | None = None) -> FlatPyram
         blurred = sep_conv_mirror(mips[lvl], C.PYRAMID_BLUR_KERNEL)
         oh, ow = h >> (lvl + 1), w >> (lvl + 1)
         mips.append(blurred[::2, ::2][:oh, :ow])
+    return mips
 
+
+def patch_pyramid(coarse: jnp.ndarray, n_levels: int | None = None) -> FlatPyramid:
+    """Build the flat mip pyramid from the coarse scale-space stack."""
+    return flat_pyramid(patch_pyramid_mips(coarse, n_levels))
+
+
+def flat_pyramid(mips: list[jnp.ndarray]) -> FlatPyramid:
     shapes = [(int(m.shape[0]), int(m.shape[1])) for m in mips]
     offsets = np.zeros(len(mips), dtype=np.int32)
     for i in range(1, len(mips)):

@@ -1,0 +1,72 @@
+"""Parity test: Pallas patch sampler (interpret mode) vs XLA sampler."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import local_features_tpu.ops.scale_space as ss
+from local_features_tpu.ops.pyramid import patch_pyramid
+from local_features_tpu.ops.descriptor import sample_patches
+from local_features_tpu.pallas.sampling import build_canvas, sample_patches_pallas
+
+
+def _mips_from_flat(pyr):
+    mips = []
+    flat = np.asarray(pyr.flat)
+    offs = np.asarray(pyr.offsets)
+    hs = np.asarray(pyr.heights)
+    ws = np.asarray(pyr.widths)
+    for l in range(pyr.n_levels):
+        mips.append(jnp.asarray(
+            flat[offs[l]: offs[l] + hs[l] * ws[l]].reshape(hs[l], ws[l])))
+    return mips
+
+
+def test_pallas_sampler_matches_xla(test_image, rng):
+    coarse = ss.scale_space(jnp.asarray(test_image), 4)
+    pyr = patch_pyramid(coarse)
+    mips = _mips_from_flat(pyr)
+    canvas = build_canvas(mips)
+
+    K = 64
+    h, w = test_image.shape
+    kx = jnp.asarray(rng.uniform(5, w - 5, K).astype(np.float32))
+    ky = jnp.asarray(rng.uniform(5, h - 5, K).astype(np.float32))
+    ksize = jnp.asarray(rng.uniform(1.6, 8.0, K).astype(np.float32))
+    kangle = jnp.asarray(rng.uniform(0, 360, K).astype(np.float32))
+    kvalid = jnp.asarray(np.ones(K, bool))
+
+    ref = sample_patches(pyr, kx, ky, ksize, kangle, kvalid, 24.0)
+    got = sample_patches_pallas(
+        canvas, pyr.widths, pyr.heights, kx, ky, ksize, kangle, kvalid,
+        24.0, interpret=True,
+    )
+    # fast path stores the pyramid in bf16 (comparable to the reference's
+    # GPU texture-unit subtexel precision): ~2^-9 relative error
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert d.max() < 8e-3, d.max()
+    assert d.mean() < 1.5e-3, d.mean()
+
+
+def test_pallas_sampler_edge_keypoints(test_image, rng):
+    """Keypoints hugging the borders exercise the mirror paths."""
+    coarse = ss.scale_space(jnp.asarray(test_image), 4)
+    pyr = patch_pyramid(coarse)
+    canvas = build_canvas(_mips_from_flat(pyr))
+
+    h, w = test_image.shape
+    edge = [(1.0, 1.0), (w - 2.0, 1.0), (1.0, h - 2.0), (w - 2.0, h - 2.0),
+            (w / 2, 0.5), (0.5, h / 2)]
+    K = len(edge)
+    kx = jnp.asarray([e[0] for e in edge], dtype=jnp.float32)
+    ky = jnp.asarray([e[1] for e in edge], dtype=jnp.float32)
+    ksize = jnp.asarray(rng.uniform(1.6, 12.0, K).astype(np.float32))
+    kangle = jnp.asarray(rng.uniform(0, 360, K).astype(np.float32))
+    kvalid = jnp.asarray(np.ones(K, bool))
+
+    ref = sample_patches(pyr, kx, ky, ksize, kangle, kvalid, 24.0)
+    got = sample_patches_pallas(
+        canvas, pyr.widths, pyr.heights, kx, ky, ksize, kangle, kvalid,
+        24.0, interpret=True,
+    )
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert d.max() < 8e-3, d.max()
