@@ -28,17 +28,22 @@ def _clip_conv_5tap(p: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     Vertical pass then horizontal, matching mkd_ref.rs:108-127 and
     patch_gradients.glsl:74-95.
     """
+    import jax
+
     n = p.shape[-1]
     rad = (len(kernel) - 1) // 2
+    pads = [(0, 0)] * (p.ndim - 2)
+
+    xp = jnp.pad(p, pads + [(rad, rad), (0, 0)], mode="edge")
     out = jnp.zeros_like(p)
     for i, k in enumerate(kernel):
-        idx = np.clip(np.arange(n) + i - rad, 0, n - 1)
-        out = out + float(k) * p[..., idx, :]
-    p2 = out
+        out = out + float(k) * jax.lax.slice_in_dim(xp, i, i + n,
+                                                    axis=p.ndim - 2)
+    xp = jnp.pad(out, pads + [(0, 0), (rad, rad)], mode="edge")
     out = jnp.zeros_like(p)
     for i, k in enumerate(kernel):
-        idx = np.clip(np.arange(n) + i - rad, 0, n - 1)
-        out = out + float(k) * p2[..., :, idx]
+        out = out + float(k) * jax.lax.slice_in_dim(xp, i, i + n,
+                                                    axis=p.ndim - 1)
     return out
 
 
@@ -104,12 +109,16 @@ def sample_patches(
 
 def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Blur + negated gradients + (mag^(1/2), -atan2) for [K, 32, 32]."""
+    import jax
+
     p = _clip_conv_5tap(patches, C.PATCH_BLUR_KERNEL)
     n = C.PATCH_SIZE
-    xm = np.clip(np.arange(n), 1, n - 1) - 1
-    xp = np.clip(np.arange(n), 0, n - 2) + 1
-    gx = p[..., :, xm] - p[..., :, xp]
-    gy = p[..., xp, :] - p[..., xm, :]
+    pads = [(0, 0)] * (p.ndim - 2)
+    pe = jnp.pad(p, pads + [(1, 1), (1, 1)], mode="edge")
+    sl = lambda a, o, ax: jax.lax.slice_in_dim(a, o, o + n, axis=ax)
+    # gx = p[y, x-1] - p[y, x+1]; gy = p[y+1, x] - p[y-1, x]
+    gx = sl(sl(pe, 1, p.ndim - 2), 0, p.ndim - 1) - sl(sl(pe, 1, p.ndim - 2), 2, p.ndim - 1)
+    gy = sl(sl(pe, 2, p.ndim - 2), 1, p.ndim - 1) - sl(sl(pe, 0, p.ndim - 2), 1, p.ndim - 1)
     eps = 1e-8
     mag = jnp.sqrt(jnp.sqrt(gx * gx + gy * gy + eps))
     ang = -jnp.arctan2(gy, gx)

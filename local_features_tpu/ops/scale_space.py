@@ -13,6 +13,7 @@ n_scales+2 levels at vulkan/mod.rs:1093-1144), shaders/swt_sub.glsl.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,28 @@ def mirror_index_np(i: np.ndarray, n: int) -> np.ndarray:
     return np.where(m >= n, 2 * n - 1 - m, m)
 
 
+def mirror_pad(x: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
+    """Symmetric (edge-repeated mirror) pad along one axis, supporting
+    pad >= dim by tiling flipped copies.  Pure flips/concats/slices —
+    no gathers, so XLA lowers it to cheap copies."""
+    n = x.shape[axis]
+    if pad < n:
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (pad, pad)
+        return jnp.pad(x, cfg, mode="symmetric")
+    flipped = jnp.flip(x, axis=axis)
+    # infinite MirroredRepeat extension is ... x, flipped, [x], flipped, x ...
+    left = jnp.concatenate([x, flipped], axis=axis)
+    right = jnp.concatenate([flipped, x], axis=axis)
+    reps = -(-pad // (2 * n))
+    big = jnp.concatenate([left] * reps + [x] + [right] * reps, axis=axis)
+    # `x` starts at reps * 2n; window [reps*2n - pad, reps*2n + n + pad)
+    start = reps * 2 * n - pad
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, start + n + 2 * pad)
+    return big[tuple(idx)]
+
+
 def sep_conv_mirror(
     img: jnp.ndarray, kernel: np.ndarray, dilation: int = 1
 ) -> jnp.ndarray:
@@ -36,24 +59,26 @@ def sep_conv_mirror(
 
     Horizontal pass then vertical pass, matching the reference kernel
     order.  `kernel` is a static numpy array; taps land at
-    dilation * {-r..r}.  Tap index maps are static, so XLA sees plain
-    gathers with constant indices and fuses the shifted adds.
+    dilation * {-r..r}.  Implemented as one mirror-pad + static slices
+    per pass (no gathers — static slices fuse into the shifted adds).
     """
     rad = (len(kernel) - 1) // 2
+    pad = rad * dilation
     h, w = img.shape[-2], img.shape[-1]
 
+    xp = mirror_pad(img, pad, img.ndim - 1)
     out = jnp.zeros_like(img)
     for i, k in enumerate(kernel):
-        off = (i - rad) * dilation
-        idx = mirror_index_np(np.arange(w) + off, w)
-        out = out + float(k) * img[..., idx]
+        off = pad + (i - rad) * dilation
+        out = out + float(k) * jax.lax.slice_in_dim(xp, off, off + w,
+                                                    axis=img.ndim - 1)
 
-    img2 = out
+    xp = mirror_pad(out, pad, img.ndim - 2)
     out = jnp.zeros_like(img)
     for i, k in enumerate(kernel):
-        off = (i - rad) * dilation
-        idx = mirror_index_np(np.arange(h) + off, h)
-        out = out + float(k) * img2[..., idx, :]
+        off = pad + (i - rad) * dilation
+        out = out + float(k) * jax.lax.slice_in_dim(xp, off, off + h,
+                                                    axis=img.ndim - 2)
     return out
 
 
