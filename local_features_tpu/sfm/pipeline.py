@@ -1,0 +1,186 @@
+"""Small-N incremental SfM pipeline: frames -> features -> matches ->
+two-view init -> tracks -> triangulation -> bundle adjustment.
+
+BASELINE.md config 3.  Device work (front-end, matching, triangulation,
+BA) is batched JAX; the track-building graph logic is host-side NumPy —
+the same split as the reference's host blob-filter between GPU phases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import LocalFeatures
+from ..ops.matching import mutual_match
+from . import geometry as geo
+from .ba import BAState, lm_bundle_adjust
+from .two_view import estimate_relative_pose, triangulate
+
+
+@dataclass
+class Reconstruction:
+    R: np.ndarray          # [C, 3, 3] world->cam
+    t: np.ndarray          # [C, 3]
+    X: np.ndarray          # [P, 3]
+    uv: np.ndarray         # [C, P, 2]
+    mask: np.ndarray       # [C, P]
+    cost: float = 0.0
+    cost_history: np.ndarray = field(default=None)
+
+    @property
+    def camera_centers(self) -> np.ndarray:
+        return np.einsum("cji,cj->ci", self.R, -self.t)
+
+
+def _match_pair(desc_a, desc_b, ratio=0.8):
+    m = mutual_match(jnp.asarray(desc_a), jnp.asarray(desc_b), ratio=ratio)
+    idx = np.asarray(m.indices)
+    ok = np.asarray(m.mask)
+    return np.stack([np.flatnonzero(ok), idx[ok]], axis=1)  # [M, 2]
+
+
+def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int]):
+    """Union-find over (frame, kp) nodes chained by consecutive matches.
+
+    Returns tracks: list of {frame: kp_idx} dicts with >= 2 observations.
+    """
+    parent: dict = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for f, matches in enumerate(pair_matches):
+        for i, j in matches:
+            union((f, int(i)), (f + 1, int(j)))
+
+    groups: dict = {}
+    for f, matches in enumerate(pair_matches):
+        for i, j in matches:
+            for node in ((f, int(i)), (f + 1, int(j))):
+                groups.setdefault(find(node), {})[node[0]] = node[1]
+
+    return [g for g in groups.values() if len(g) >= 2]
+
+
+def reconstruct_sequence(
+    frames: np.ndarray,
+    intr: np.ndarray,
+    max_features: int = 1000,
+    n_scales: int = 4,
+    ba_iters: int = 25,
+    ratio: float = 0.8,
+    min_track_len: int = 2,
+    seed: int = 0,
+    engine: LocalFeatures | None = None,
+) -> Reconstruction:
+    """Reconstruct a short ordered sequence of [F, H, W] grayscale frames.
+
+    Pose initialization chains pairwise essential-matrix estimates with
+    scale propagation via shared tracks, then a full LM BA refines
+    everything jointly.
+    """
+    F = frames.shape[0]
+    intr_j = jnp.asarray(intr, jnp.float32)
+    lf = engine or LocalFeatures(max_features=max_features,
+                                 n_scales=n_scales)
+    feats = [lf.detect_top_n(frames[f], max_features) for f in range(F)]
+
+    pair_matches = []
+    for f in range(F - 1):
+        pair_matches.append(_match_pair(feats[f].descriptors,
+                                        feats[f + 1].descriptors, ratio))
+
+    tracks = [t for t in _build_tracks(pair_matches,
+                                       [len(ft) for ft in feats])
+              if len(t) >= min_track_len]
+    P = len(tracks)
+    if P < 8:
+        raise ValueError(f"too few tracks ({P}) to reconstruct")
+
+    uv = np.zeros((F, P, 2), np.float32)
+    mask = np.zeros((F, P), bool)
+    for p, tr in enumerate(tracks):
+        for f, k in tr.items():
+            uv[f, p] = [feats[f].x[k], feats[f].y[k]]
+            mask[f, p] = True
+
+    uv_j = jnp.asarray(uv)
+    norm = np.asarray(geo.normalize_points(uv_j, intr_j))
+
+    # chained pairwise pose initialization with scale propagation
+    Rs = [np.eye(3, dtype=np.float32)]
+    ts = [np.zeros(3, dtype=np.float32)]
+    key = jax.random.PRNGKey(seed)
+    X_est = np.full((P, 3), np.nan, np.float32)  # in world frame
+    for f in range(F - 1):
+        both = mask[f] & mask[f + 1]
+        key, sub = jax.random.split(key)
+        res = estimate_relative_pose(
+            jnp.asarray(norm[f]), jnp.asarray(norm[f + 1]),
+            jnp.asarray(both), sub)
+        R_rel = np.asarray(res.R)
+        t_rel = np.asarray(res.t)
+        inl = np.asarray(res.inliers)
+
+        # triangulate inlier tracks in frame f's camera frame
+        Xc = np.asarray(triangulate(
+            jnp.eye(3), jnp.zeros(3), jnp.asarray(R_rel), jnp.asarray(t_rel),
+            jnp.asarray(norm[f]), jnp.asarray(norm[f + 1])))
+        # to world: X_w = R_f^T (Xc - t_f)
+        Xw = (Xc - ts[f]) @ Rs[f]
+
+        if f == 0:
+            scale = 1.0
+        else:
+            # scale from tracks already triangulated with the global scale
+            known = inl & np.isfinite(X_est[:, 0])
+            if known.sum() >= 3:
+                Xc_known_global = X_est[known] @ Rs[f].T + ts[f]
+                z_global = Xc_known_global[:, 2]
+                z_local = Xc[known][:, 2]
+                ratio_z = z_global / np.where(np.abs(z_local) > 1e-9,
+                                              z_local, 1e-9)
+                scale = float(np.median(ratio_z))
+            else:
+                scale = 1.0
+
+        t_rel = t_rel * scale
+        R_next = R_rel @ Rs[f]
+        t_next = R_rel @ ts[f] + t_rel
+        Rs.append(R_next.astype(np.float32))
+        ts.append(t_next.astype(np.float32))
+
+        # record newly triangulated points at the global scale
+        Xw_scaled = (Xc * scale - ts[f]) @ Rs[f]
+        new = inl & ~np.isfinite(X_est[:, 0]) & (Xc[:, 2] > 0.05)
+        X_est[new] = Xw_scaled[new]
+
+    good = np.isfinite(X_est[:, 0])
+    # drop tracks that never triangulated
+    uv, mask, X_est = uv[:, good], mask[:, good], X_est[good]
+
+    state0 = BAState(R=jnp.asarray(np.stack(Rs)),
+                     t=jnp.asarray(np.stack(ts)),
+                     X=jnp.asarray(X_est))
+    result = lm_bundle_adjust(state0, jnp.asarray(uv), jnp.asarray(mask),
+                              intr_j, n_iters=ba_iters)
+    return Reconstruction(
+        R=np.asarray(result.state.R),
+        t=np.asarray(result.state.t),
+        X=np.asarray(result.state.X),
+        uv=uv, mask=mask,
+        cost=float(result.cost),
+        cost_history=np.asarray(result.cost_history),
+    )

@@ -78,17 +78,23 @@ def total_error(graph: PoseGraph) -> jnp.ndarray:
 
 
 def absolute_trajectory_error(
-    t_est: jnp.ndarray, t_gt: jnp.ndarray
+    t_est: jnp.ndarray, t_gt: jnp.ndarray, with_scale: bool = False
 ) -> jnp.ndarray:
-    """ATE RMSE after Umeyama (similarity-free, SE(3)) alignment."""
+    """ATE RMSE after Umeyama alignment (SE(3), or Sim(3) for monocular
+    trajectories when with_scale=True)."""
     mu_e = t_est.mean(axis=0)
     mu_g = t_gt.mean(axis=0)
     E = t_est - mu_e
     G = t_gt - mu_g
     H = E.T @ G
-    U, _, Vt = jnp.linalg.svd(H)
+    U, S, Vt = jnp.linalg.svd(H)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
+    D = jnp.diag(jnp.array([1.0, 1.0, d]))
     R = Vt.T @ D @ U.T
-    aligned = E @ R.T + mu_g
+    if with_scale:
+        var_e = jnp.sum(E * E) / E.shape[0]
+        scale = jnp.sum(S * jnp.array([1.0, 1.0, d])) / (var_e * E.shape[0])
+    else:
+        scale = 1.0
+    aligned = scale * E @ R.T + mu_g
     return jnp.sqrt(jnp.mean(jnp.sum((aligned - t_gt) ** 2, axis=-1)))

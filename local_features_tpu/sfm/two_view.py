@@ -107,13 +107,79 @@ def _recover_pose(E, x1, x2, w):
     return cands_R[best], cands_t[best]
 
 
+def _essential_from_pose(R, t):
+    return hat_t(t) @ R
+
+
+def hat_t(t):
+    return jnp.array([[0.0, -t[2], t[1]],
+                      [t[2], 0.0, -t[0]],
+                      [-t[1], t[0], 0.0]])
+
+
+def refine_pose_sampson(R, t, x1, x2, w, n_iters: int = 10,
+                        damping: float = 1e-6):
+    """Gauss-Newton polish of (R, t) minimizing weighted Sampson error.
+
+    Parametrized on the manifold: 3 rotation tangent dims + 2 tangent
+    dims of the unit translation sphere.  The 8-point estimate is
+    algebraically biased under keypoint noise; this golden-standard
+    refinement recovers most of the accuracy at negligible cost.
+    """
+    from .geometry import so3_exp
+
+    def t_basis(t):
+        a = jnp.where(jnp.abs(t[0]) < 0.9,
+                      jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+        b1 = jnp.cross(t, a)
+        b1 = b1 / jnp.linalg.norm(b1)
+        b2 = jnp.cross(t, b1)
+        return jnp.stack([b1, b2], axis=1)              # [3, 2]
+
+    def signed_sampson(params, R0, t0):
+        dw, db = params[:3], params[3:]
+        R_ = so3_exp(dw) @ R0
+        t_ = t0 + t_basis(t0) @ db
+        t_ = t_ / jnp.linalg.norm(t_)
+        E = hat_t(t_) @ R_
+        h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+        h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+        Ex1 = h1 @ E.T
+        Etx2 = h2 @ E
+        num = jnp.sum(h2 * Ex1, axis=-1)
+        den = jnp.sqrt(Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
+                       + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2 + 1e-12)
+        return (num / den) * w
+
+    def step(carry, _):
+        R0, t0 = carry
+        zero = jnp.zeros(5)
+        J = jax.jacfwd(lambda p: signed_sampson(p, R0, t0))(zero)  # [N, 5]
+        r = signed_sampson(zero, R0, t0)
+        H = J.T @ J + damping * jnp.eye(5)
+        p = -jnp.linalg.solve(H, J.T @ r)
+        R1 = so3_exp(p[:3]) @ R0
+        t1 = t0 + t_basis(t0) @ p[3:]
+        t1 = t1 / jnp.linalg.norm(t1)
+        # accept only if cost decreases
+        c0 = jnp.sum(r * r)
+        c1 = jnp.sum(signed_sampson(jnp.zeros(5), R1, t1) ** 2)
+        ok = c1 < c0
+        R1 = jnp.where(ok, R1, R0)
+        t1 = jnp.where(ok, t1, t0)
+        return (R1, t1), c1
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=n_iters)
+    return R, t
+
+
 def estimate_relative_pose(
     x1: jnp.ndarray,
     x2: jnp.ndarray,
     mask: jnp.ndarray,
     key: jax.Array,
     n_hypotheses: int = 256,
-    inlier_threshold: float = 1e-4,
+    inlier_threshold: float = 1e-5,
 ) -> TwoViewResult:
     """RANSAC essential-matrix estimation from normalized correspondences.
 
@@ -139,16 +205,46 @@ def estimate_relative_pose(
     best = jnp.argmax(scores)
     E0 = Es[best]
 
-    # refine: weighted 8-point on the best hypothesis' inliers, twice
-    def refine(E, _):
+    def msac_score(E):
+        """Truncated-quadratic (MSAC) score — higher is better."""
+        d = sampson_distance(E, x1, x2)
+        return jnp.sum(jnp.maximum(1.0 - d / inlier_threshold, 0.0) * wm)
+
+    # candidate ladder: each step may improve or regress; keep the best
+    # by MSAC score instead of trusting the last step.
+    def reweighted(E, _):
         d = sampson_distance(E, x1, x2)
         inl = (d < inlier_threshold) & mask
-        E = _eight_point_weighted(x1, x2, inl.astype(jnp.float32))
-        return E, None
+        return _eight_point_weighted(x1, x2, inl.astype(jnp.float32)), None
 
-    E, _ = jax.lax.scan(refine, E0, None, length=2)
+    E1, _ = jax.lax.scan(reweighted, E0, None, length=2)
+
+    d1 = sampson_distance(E1, x1, x2)
+    inl1 = ((d1 < inlier_threshold) & mask).astype(jnp.float32)
+    R1, t1 = _recover_pose(E1, x1, x2, inl1)
+    R2, t2 = refine_pose_sampson(R1, t1, x1, x2, inl1)
+    E2 = hat_t(t2) @ R2
+
+    cands = jnp.stack([E0, E1, E2])
+    cand_scores = jax.vmap(msac_score)(cands)
+    ci = jnp.argmax(cand_scores)
+    E = cands[ci]
+
     d = sampson_distance(E, x1, x2)
     inliers = (d < inlier_threshold) & mask
-    R, t = _recover_pose(E, x1, x2, inliers.astype(jnp.float32))
+    inl_f = inliers.astype(jnp.float32)
+    # recover/polish the winning candidate's pose
+    R, t = _recover_pose(E, x1, x2, inl_f)
+    Rp, tp = refine_pose_sampson(R, t, x1, x2, inl_f)
+    # keep the polish only if it does not lose inliers
+    n_before = jnp.sum((sampson_distance(hat_t(t) @ R, x1, x2)
+                        < inlier_threshold) & mask)
+    n_after = jnp.sum((sampson_distance(hat_t(tp) @ Rp, x1, x2)
+                       < inlier_threshold) & mask)
+    take = n_after >= n_before
+    R = jnp.where(take, Rp, R)
+    t = jnp.where(take, tp, t)
+    E = hat_t(t) @ R
+    inliers = (sampson_distance(E, x1, x2) < inlier_threshold) & mask
     return TwoViewResult(E=E, R=R, t=t, inliers=inliers,
                          n_inliers=jnp.sum(inliers))
