@@ -99,6 +99,92 @@ class LocalFeatures:
         return self._run(img, top_n=n, min_size=float(min_size),
                          all_blobs=n > self.max_features)
 
+    def detect_with_filter(
+        self, img: np.ndarray, filter_blobs: Callable, min_size: float = 0.0
+    ) -> FeaturesResult:
+        """Host blob-filter escape hatch — parity with the reference's
+        FilterBlobs trait (vulkan/mod.rs:125-131): runs the detect phase,
+        hands the candidate blob SoA (x, y, size, contrast as numpy
+        arrays) to `filter_blobs`, which returns the indices to keep, then
+        runs the extract phase on the kept blobs.
+
+        `filter_blobs(x, y, size, contrast) -> index array` may return at
+        most `max_features` indices (excess is truncated, reported in
+        dropped counters by the extract phase).
+        """
+        import jax.numpy as jnp_
+
+        from .ops.detect import BlobArrays
+        from .ops.frontend import FrontendConfig, detect_phase, extract_from_blobs
+
+        img = np.asarray(img, dtype=np.float32)
+        cfg = FrontendConfig(
+            n_scales=self.n_scales, max_blobs=self.max_blobs,
+            max_keypoints=self.max_features, max_filtered=self.max_features,
+            sampler=self.sampler,
+        )
+        key = ("phase1", img.shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda im, ms: detect_phase(im, cfg, ms))
+            self._jit_cache[("phase2", img.shape)] = jax.jit(
+                lambda coarse, filt, psf: extract_from_blobs(
+                    coarse, filt, cfg, self._mean, self._proj, psf))
+        coarse, blobs = self._jit_cache[key](
+            jnp.asarray(img), jnp.float32(min_size))
+
+        valid = np.asarray(blobs.valid)
+        n = int(valid.sum())
+        x = np.asarray(blobs.x)[:n]
+        y = np.asarray(blobs.y)[:n]
+        size = np.asarray(blobs.size)[:n]
+        contrast = np.asarray(blobs.contrast)[:n]
+        keep = np.asarray(filter_blobs(x, y, size, contrast),
+                          dtype=np.int64)[: self.max_features]
+
+        F = self.max_features
+        pad = lambda a: np.pad(a[keep].astype(np.float32), (0, F - len(keep)))
+        filt = BlobArrays(
+            x=jnp.asarray(pad(x)), y=jnp.asarray(pad(y)),
+            size=jnp.asarray(pad(size)), contrast=jnp.asarray(pad(contrast)),
+            level=jnp.asarray(np.pad(
+                np.asarray(blobs.level)[:n][keep], (0, F - len(keep))
+            ).astype(np.int32)),
+            valid=jnp.asarray(np.arange(F) < len(keep)),
+            n_total=blobs.n_total, n_dropped=blobs.n_dropped,
+        )
+        res = self._jit_cache[("phase2", img.shape)](
+            coarse, filt, jnp.float32(self.patch_scale_factor))
+        return self._to_host(res)
+
+    def detect_batch(
+        self, imgs: np.ndarray, n: int | None = None, min_size: float = 0.0
+    ) -> list[FeaturesResult]:
+        """Batched detection over [B, H, W] frames (vmapped on device)."""
+        from .ops.frontend import FrontendConfig
+        from .parallel import batched_detect_extract
+
+        imgs = np.asarray(imgs, dtype=np.float32)
+        n = self.max_features if n is None else min(int(n), self.max_blobs)
+        key = ("batch", imgs.shape)
+        if key not in self._jit_cache:
+            cfg = FrontendConfig(
+                n_scales=self.n_scales, max_blobs=self.max_blobs,
+                max_keypoints=self.max_features,
+                max_filtered=self.max_features, sampler=self.sampler,
+            )
+            self._jit_cache[key] = jax.jit(
+                lambda im, nn, ms, psf: batched_detect_extract(
+                    im, cfg, self._mean, self._proj, nn, ms, psf))
+        res = self._jit_cache[key](
+            jnp.asarray(imgs), jnp.int32(n), jnp.float32(min_size),
+            jnp.float32(self.patch_scale_factor))
+        out = []
+        for b in range(imgs.shape[0]):
+            one = jax.tree.map(lambda a, i=b: a[i], res)
+            out.append(self._to_host(one))
+        return out
+
     def _run(self, img, top_n, min_size, all_blobs) -> FeaturesResult:
         img = np.asarray(img, dtype=np.float32)
         if img.ndim != 2:

@@ -73,6 +73,42 @@ def _truncate_blobs(blobs: BlobArrays, n_slots: int, top_n) -> BlobArrays:
     )
 
 
+def detect_phase(
+    img: jnp.ndarray,
+    cfg: FrontendConfig,
+    min_size: jnp.ndarray | float = 0.0,
+):
+    """Detect phase only: (coarse stack, candidate blobs).
+
+    Used by the host blob-filter escape hatch (the reference's
+    FilterBlobs trait, vulkan/mod.rs:125-131): the caller filters the
+    blob arrays on host and feeds them to `extract_from_blobs`.
+    """
+    from .scale_space import fine_volume, scale_space
+
+    coarse = scale_space(img, cfg.n_scales)
+    fine = fine_volume(coarse)
+    blobs = detect_blobs(
+        fine, cfg.max_blobs, min_size, cfg.border, cfg.contrast_threshold
+    )
+    return coarse, blobs
+
+
+def extract_from_blobs(
+    coarse: jnp.ndarray,
+    filtered: BlobArrays,
+    cfg: FrontendConfig,
+    pca_mean: jnp.ndarray,
+    pca_proj: jnp.ndarray,
+    patch_scale_factor: jnp.ndarray | float = C.DEFAULT_PATCH_SCALE_FACTOR,
+) -> FrontendResult:
+    """Extract phase: orientation + patches + descriptors from a filtered
+    blob set (parity with the reference's extract taskgraph)."""
+    kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints)
+    return _finish_extract(coarse, filtered, kps, cfg, pca_mean, pca_proj,
+                           patch_scale_factor)
+
+
 def detect_extract(
     img: jnp.ndarray,
     cfg: FrontendConfig,
@@ -85,25 +121,22 @@ def detect_extract(
     """Full single-image front-end.  `top_n`, `min_size` and
     `patch_scale_factor` are runtime (traced) values; everything in `cfg`
     is compile-time static."""
-    from .scale_space import fine_volume, scale_space
-
-    coarse = scale_space(img, cfg.n_scales)
-    fine = fine_volume(coarse)
-
-    blobs = detect_blobs(
-        fine, cfg.max_blobs, min_size, cfg.border, cfg.contrast_threshold
-    )
+    coarse, blobs = detect_phase(img, cfg, min_size)
     filtered = _truncate_blobs(blobs, cfg.max_filtered, top_n)
 
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints)
 
+    return _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
+                           patch_scale_factor)
+
+
+def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
+                    patch_scale_factor) -> FrontendResult:
     mips = patch_pyramid_mips(coarse)
     if cfg.sampler == "pallas":
         from ..pallas.sampling import build_canvas, sample_patches_pallas
 
         canvas = build_canvas(mips)
-        import numpy as np
-
         widths = jnp.asarray([m.shape[1] for m in mips], dtype=jnp.int32)
         heights = jnp.asarray([m.shape[0] for m in mips], dtype=jnp.int32)
         patches = sample_patches_pallas(

@@ -1,0 +1,54 @@
+"""API-surface tests: host blob filter, batched detection, parity between
+entry points."""
+
+import numpy as np
+
+from local_features_tpu.api import LocalFeatures
+
+
+def test_detect_with_filter_matches_top_n(test_image):
+    lf = LocalFeatures(max_features=128, max_blobs=512, n_scales=4)
+    r_top = lf.detect_top_n(test_image, 20)
+
+    def top20(x, y, size, contrast):
+        order = np.argsort(-np.abs(contrast), kind="stable")
+        return np.sort(order[:20])
+
+    r_filt = lf.detect_with_filter(test_image, top20)
+    assert len(r_filt) == len(r_top)
+    np.testing.assert_allclose(np.sort(r_filt.response),
+                               np.sort(r_top.response), atol=1e-6)
+    np.testing.assert_allclose(np.sort(r_filt.x), np.sort(r_top.x),
+                               atol=1e-5)
+
+
+def test_detect_with_filter_custom(test_image):
+    """A filter selecting only large blobs."""
+    lf = LocalFeatures(max_features=128, max_blobs=512, n_scales=4)
+    r_all = lf.detect(test_image)
+
+    def only_big(x, y, size, contrast):
+        return np.flatnonzero(size >= 3.0)
+
+    r = lf.detect_with_filter(test_image, only_big)
+    if len(r):
+        assert (r.size >= 3.0).all()
+    n_expected_blobs = len(np.unique(r_all.response[r_all.size >= 3.0]))
+    assert len(np.unique(r.response)) == n_expected_blobs
+
+
+def test_detect_batch_matches_single(test_image):
+    rng = np.random.default_rng(3)
+    imgs = np.stack([
+        np.clip(test_image + 0.02 * rng.standard_normal(test_image.shape),
+                0, 1).astype(np.float32)
+        for _ in range(3)
+    ])
+    lf = LocalFeatures(max_features=128, max_blobs=512, n_scales=4)
+    batch = lf.detect_batch(imgs, n=64)
+    for b in range(3):
+        single = lf.detect_top_n(imgs[b], 64)
+        assert len(batch[b]) == len(single)
+        np.testing.assert_allclose(batch[b].x, single.x, atol=1e-5)
+        np.testing.assert_allclose(batch[b].descriptors, single.descriptors,
+                                   atol=1e-5)
