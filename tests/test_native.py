@@ -1,0 +1,99 @@
+"""Tests for the native (C++) frame-ingestion runtime."""
+
+import numpy as np
+import pytest
+
+from local_features_tpu import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason=f"native build unavailable: {native.build_error()}")
+
+
+def test_gray_conversion(rng):
+    u8 = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    got = native.gray_u8_to_f32(u8)
+    np.testing.assert_allclose(got, u8.astype(np.float32) / 255.0,
+                               atol=1e-7)
+
+
+def test_rgb_conversion(rng):
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    got = native.rgb_u8_to_gray_f32(rgb)
+    ref = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+           + 0.114 * rgb[..., 2]).astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_resize_identity(rng):
+    img = rng.random((24, 32)).astype(np.float32)
+    got = native.resize_bilinear(img, 24, 32)
+    np.testing.assert_allclose(got, img, atol=1e-6)
+
+
+def test_resize_downsample(rng):
+    img = np.tile(rng.random((8, 8)).astype(np.float32), (4, 4))
+    small = native.resize_bilinear(img, 16, 16)
+    assert small.shape == (16, 16)
+    assert np.isfinite(small).all()
+    assert abs(float(small.mean()) - float(img.mean())) < 0.05
+
+
+def _write_pgm(path, img_u8):
+    h, w = img_u8.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(img_u8.tobytes())
+
+
+def _write_ppm(path, img_u8):
+    h, w, _ = img_u8.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(img_u8.tobytes())
+
+
+def test_load_pnm(tmp_path, rng):
+    g = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    p = tmp_path / "a.pgm"
+    _write_pgm(p, g)
+    got = native.load_pnm_gray(str(p))
+    np.testing.assert_allclose(got, g.astype(np.float32) / 255.0, atol=1e-6)
+
+    c = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    p2 = tmp_path / "b.ppm"
+    _write_ppm(p2, c)
+    got2 = native.load_pnm_gray(str(p2))
+    ref2 = (0.299 * c[..., 0] + 0.587 * c[..., 1]
+            + 0.114 * c[..., 2]).astype(np.float32) / 255.0
+    np.testing.assert_allclose(got2, ref2, atol=1e-5)
+
+
+def test_frame_pipeline_order_and_content(tmp_path, rng):
+    frames = [rng.integers(0, 256, (16, 24), dtype=np.uint8)
+              for _ in range(10)]
+    paths = []
+    for i, fr in enumerate(frames):
+        p = tmp_path / f"f{i:03d}.pgm"
+        _write_pgm(p, fr)
+        paths.append(str(p))
+
+    with native.FramePipeline(paths, 16, 24, n_threads=3,
+                              queue_cap=4) as pipe:
+        out = list(pipe)
+    assert len(out) == 10
+    for i, fr in enumerate(frames):
+        np.testing.assert_allclose(out[i], fr.astype(np.float32) / 255.0,
+                                   atol=1e-6)
+
+
+def test_frame_pipeline_resize(tmp_path, rng):
+    g = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    p = tmp_path / "a.pgm"
+    _write_pgm(p, g)
+    with native.FramePipeline([str(p)] * 3, 16, 24) as pipe:
+        out = list(pipe)
+    assert len(out) == 3 and out[0].shape == (16, 24)
+    ref = native.resize_bilinear(g.astype(np.float32) / 255.0, 16, 24)
+    np.testing.assert_allclose(out[0], ref, atol=1e-6)
