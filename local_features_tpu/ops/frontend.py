@@ -104,7 +104,8 @@ def extract_from_blobs(
 ) -> FrontendResult:
     """Extract phase: orientation + patches + descriptors from a filtered
     blob set (parity with the reference's extract taskgraph)."""
-    kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints)
+    kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
+                               use_pallas=cfg.sampler == "pallas")
     return _finish_extract(coarse, filtered, kps, cfg, pca_mean, pca_proj,
                            patch_scale_factor)
 
@@ -124,7 +125,8 @@ def detect_extract(
     coarse, blobs = detect_phase(img, cfg, min_size)
     filtered = _truncate_blobs(blobs, cfg.max_filtered, top_n)
 
-    kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints)
+    kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
+                               use_pallas=cfg.sampler == "pallas")
 
     return _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
                            patch_scale_factor)

@@ -39,12 +39,113 @@ class KeypointArrays(NamedTuple):
     n_dropped: jnp.ndarray  # [] i32
 
 
+_DECIM_LEVELS = 4   # phase-decimated plane canvases for levels 0..3
+_BIG_CAP = 64       # gather-fallback capacity for level >= 4 blobs (rare)
+_OWIN_H = 24        # window rows (15 + 8-row alignment slack, mult of 8)
+_OWIN_W = 256       # window lanes (15 + 128-lane alignment slack)
+
+
+def _gather_patches(coarse, xi, yi, level):
+    """[F, 15, 15] dilated neighborhoods via XLA scalar gather (exact but
+    ~10 ns/element on TPU — used on CPU and as the big-blob fallback)."""
+    nC, H, W = coarse.shape
+    F = xi.shape[0]
+    step = jnp.left_shift(1, level)
+    offs = jnp.arange(-_R, _R + 1, dtype=jnp.int32)
+    x_img = xi[:, None] + offs[None, :] * step[:, None]
+    y_img = yi[:, None] + offs[None, :] * step[:, None]
+    xc = jnp.clip(x_img, 0, W - 1)
+    yc = jnp.clip(y_img, 0, H - 1)
+    flat_idx = (level[:, None, None] * (H * W)
+                + yc[:, :, None] * W + xc[:, None, :])
+    patch = jnp.take(coarse.reshape(-1), flat_idx.reshape(-1), axis=0)
+    return patch.reshape(F, _PS, _PS)
+
+
+def _decimated_canvases(coarse):
+    """Per-level stacks of phase-decimated planes for levels
+    0.._DECIM_LEVELS-1: canvas_l[py*s+px][yd, xd] = coarse[l][py+yd*s,
+    px+xd*s], zero padded (= the reference's out-of-image zero fill)."""
+    nC, H, W = coarse.shape
+    out = []
+    for l in range(min(_DECIM_LEVELS, nC)):
+        sstep = 1 << l
+        Hl, Wl = -(-H // sstep), -(-W // sstep)
+        Hc = -(-(Hl + 2 * _OWIN_H) // 8) * 8
+        Wc = -(-(Wl + 2 * _OWIN_W) // 128) * 128
+        c = jnp.pad(coarse[l], ((0, Hl * sstep - H), (0, Wl * sstep - W)))
+        d = c.reshape(Hl, sstep, Wl, sstep)
+        d = d.transpose(1, 3, 0, 2).reshape(sstep * sstep, Hl, Wl)
+        out.append(jnp.pad(d, ((0, 0), (0, Hc - Hl), (0, Wc - Wl))))
+    return tuple(out)
+
+
+def _sample_ori_patches_pallas(coarse, xi, yi, level, interpret=False):
+    """[F, 15, 15] neighborhoods via phase-decimated planes + Pallas
+    window DMA + batched one-hot extraction matmuls.
+
+    Levels >= _DECIM_LEVELS (blob radius >= ~19 px — rare) fall back to
+    the scalar gather on up to _BIG_CAP compacted slots; big blobs past
+    that capacity yield empty histograms (and thus no keypoints).
+    """
+    from ..pallas.windows import fetch_windows_multi
+
+    nC, H, W = coarse.shape
+    F = xi.shape[0]
+    canvases = _decimated_canvases(coarse)
+
+    lv = jnp.minimum(level, _DECIM_LEVELS - 1)
+    sstep = jnp.left_shift(1, lv)
+    plane = jnp.mod(yi, sstep) * sstep + jnp.mod(xi, sstep)
+    yd = jnp.right_shift(yi, lv)
+    xd = jnp.right_shift(xi, lv)
+    oy = jnp.maximum(((yd - _R) // 8) * 8, 0)
+    ox = jnp.maximum(((xd - _R) // 128) * 128, 0)
+
+    win = fetch_windows_multi(canvases, lv, plane, oy, ox, win_h=_OWIN_H,
+                              win_w=_OWIN_W,
+                              interpret=interpret)        # [F, 24, 256]
+
+    # batched one-hot extraction: patch[f, r, c] = win[f, yl+r, xl+c].
+    # Precision.HIGHEST keeps the 0/1 selection exact (the TPU default
+    # matmul precision would round the window values to bf16).
+    y_local = yd - _R - oy                                  # [0, 8)
+    x_local = xd - _R - ox                                  # [0, 128)
+    rows = jnp.arange(_OWIN_H, dtype=jnp.int32)
+    cols = jnp.arange(_OWIN_W, dtype=jnp.int32)
+    r15 = jnp.arange(_PS, dtype=jnp.int32)
+    By = (rows[None, None, :] == (y_local[:, None] + r15[None, :])[..., None]
+          ).astype(jnp.float32)                             # [F, 15, 24]
+    Bx = (cols[None, :, None] == (x_local[:, None] + r15[None, :])[:, None, :]
+          ).astype(jnp.float32)                             # [F, 256, 15]
+    patch = jnp.einsum("fri,fij,fjc->frc", By, win, Bx,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [F, 15, 15]
+
+    # big-blob fallback (level >= _DECIM_LEVELS): exact gather on a
+    # compacted subset
+    big = level >= _DECIM_LEVELS
+    cap = min(_BIG_CAP, F)
+    score = jnp.where(big, F - jnp.arange(F, dtype=jnp.int32), 0)
+    top_s, bidx = jax.lax.top_k(score, cap)
+    slot_valid = top_s > 0
+    patch_big_c = _gather_patches(coarse, xi[bidx], yi[bidx], level[bidx])
+    scatter = ((bidx[None, :] == jnp.arange(F)[:, None]) & slot_valid[None, :]
+               ).astype(jnp.float32)                        # [F, cap]
+    patch_big = jnp.einsum("fs,src->frc", scatter, patch_big_c,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(big[:, None, None], patch_big, patch)
+
+
 def orientation_histograms(
     coarse: jnp.ndarray,
     bx: jnp.ndarray,
     by: jnp.ndarray,
     bsize: jnp.ndarray,
     bvalid: jnp.ndarray,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Peak orientations for each blob slot.
 
@@ -70,12 +171,11 @@ def orientation_histograms(
     vy = (y_img >= 0) & (y_img < H)
     valid_px = vx[:, None, :] & vy[:, :, None]            # [F, 15, 15]
 
-    xc = jnp.clip(x_img, 0, W - 1)
-    yc = jnp.clip(y_img, 0, H - 1)
-    flat_idx = (level[:, None, None] * (H * W)
-                + yc[:, :, None] * W + xc[:, None, :])    # [F, 15, 15]
-    patch = jnp.take(coarse.reshape(-1), flat_idx.reshape(-1), axis=0)
-    patch = jnp.where(valid_px, patch.reshape(F, _PS, _PS), 0.0)
+    if use_pallas:
+        patch = _sample_ori_patches_pallas(coarse, xi, yi, level, interpret)
+    else:
+        patch = _gather_patches(coarse, xi, yi, level)
+    patch = jnp.where(valid_px, patch, 0.0)
 
     # central-difference gradients on the interior 13x13
     gx = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]
@@ -125,6 +225,8 @@ def keypoints_from_blobs(
     coarse: jnp.ndarray,
     blobs,
     max_keypoints: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> KeypointArrays:
     """Assign orientations and compact (blob, peak) pairs into keypoint slots.
 
@@ -133,7 +235,8 @@ def keypoints_from_blobs(
     deterministic, unlike the reference's atomic append order.
     """
     angles, peak = orientation_histograms(
-        coarse, blobs.x, blobs.y, blobs.size, blobs.valid
+        coarse, blobs.x, blobs.y, blobs.size, blobs.valid,
+        use_pallas=use_pallas, interpret=interpret,
     )
     F = angles.shape[0]
     n_flat = F * C.N_ORI_BINS

@@ -55,6 +55,7 @@ WIN_X = 112   # 90.6 px footprint + 16-sublane (bf16 tile) alignment slack
 WIN_Y = 256   # 90.6 px footprint + 128-lane alignment slack
 _PS = C.PATCH_SIZE  # 32
 _NS = _PS * _PS     # 1024
+KB = 4              # keypoints per grid program (amortizes step overhead)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -87,77 +88,90 @@ def _mirror(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
             out_ref, win, sem):
-    k = pl.program_id(0)
-    n_k = pl.num_programs(0)
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
 
-    def start_dma(idx, slot):
+    def start_dmas(prog, slot):
+        for j in range(KB):
+            idx = prog * KB + j
+            ox = pl.multiple_of(ox_ref[idx], 16)
+            oy = pl.multiple_of(oy_ref[idx], 128)
+            pltpu.make_async_copy(
+                canvas_ref.at[level_ref[idx], pl.ds(ox, WIN_X),
+                              pl.ds(oy, WIN_Y)],
+                win.at[slot, j],
+                sem.at[slot, j],
+            ).start()
+
+    def wait_dma(prog, slot, j):
+        idx = prog * KB + j
         ox = pl.multiple_of(ox_ref[idx], 16)
         oy = pl.multiple_of(oy_ref[idx], 128)
-        return pltpu.make_async_copy(
+        pltpu.make_async_copy(
             canvas_ref.at[level_ref[idx], pl.ds(ox, WIN_X), pl.ds(oy, WIN_Y)],
-            win.at[slot],
-            sem.at[slot],
-        )
+            win.at[slot, j],
+            sem.at[slot, j],
+        ).wait()
 
-    # warm-up: program 0 starts its own DMA
-    @pl.when(k == 0)
+    # warm-up: program 0 starts its own DMAs
+    @pl.when(g == 0)
     def _():
-        start_dma(0, 0).start()
+        start_dmas(0, 0)
 
-    # prefetch next keypoint's window
-    @pl.when(k + 1 < n_k)
+    # prefetch next program's windows
+    @pl.when(g + 1 < n_g)
     def _():
-        start_dma(k + 1, (k + 1) % 2).start()
+        start_dmas(g + 1, (g + 1) % 2)
 
-    px = fparams_ref[0, k]
-    py = fparams_ref[1, k]
-    rem = fparams_ref[2, k]
-    ct = fparams_ref[3, k]
-    st = fparams_ref[4, k]
-
-    mw = hw_ref[2 * k]      # mip width
-    mh = hw_ref[2 * k + 1]  # mip height
-    ox = ox_ref[k]
-    oy = oy_ref[k]
-
-    # rotated sample grid (pixel-center coords in mip space), lane-major
+    # shared per-program constants
     flat_i = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
     lx = jax.lax.rem(flat_i, _PS).astype(jnp.float32) - _PS / 2.0
     ly = (flat_i // _PS).astype(jnp.float32) - _PS / 2.0
-    sx = (lx * ct - ly * st) * rem + px
-    sy = (lx * st + ly * ct) * rem + py
-
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = (sx - x0).astype(jnp.bfloat16)
-    fy = (sy - y0).astype(jnp.bfloat16)
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-
-    x0m = _mirror(x0, mw) - ox          # [1, 1024] window-local
-    x1m = _mirror(x0 + 1, mw) - ox
-    y0m = _mirror(y0, mh) - oy
-    y1m = _mirror(y0 + 1, mh) - oy
-
-    # Arithmetic one-hots (no boolean vectors — Mosaic relayout of
-    # broadcast i1 masks is unsupported): eq(i, j) = max(1 - |i - j|, 0).
+    rows_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_Y, _NS), 0)
+    rows_x = jax.lax.broadcasted_iota(jnp.int32, (WIN_X, _NS), 0)
     one = jnp.bfloat16(1.0)
 
-    def onehot_lerp(rows, i0, i1, frac, size):
+    def onehot_lerp(rows, i0, i1, frac):
+        # arithmetic one-hots (no boolean vectors — Mosaic relayout of
+        # broadcast i1 masks is unsupported): eq(i, j) = max(1-|i-j|, 0)
         eq0 = jnp.maximum(1 - jnp.abs(rows - i0), 0).astype(jnp.bfloat16)
         eq1 = jnp.maximum(1 - jnp.abs(rows - i1), 0).astype(jnp.bfloat16)
         return eq0 * (one - frac) + eq1 * frac
 
-    rows_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_Y, _NS), 0)
-    yoht = onehot_lerp(rows_y, y0m, y1m, fy, WIN_Y)      # [256, 1024] bf16
+    for j in range(KB):
+        k = g * KB + j
+        px = fparams_ref[0, k]
+        py = fparams_ref[1, k]
+        rem = fparams_ref[2, k]
+        ct = fparams_ref[3, k]
+        st = fparams_ref[4, k]
+        mw = hw_ref[2 * k]      # mip width
+        mh = hw_ref[2 * k + 1]  # mip height
+        ox = ox_ref[k]
+        oy = oy_ref[k]
 
-    rows_x = jax.lax.broadcasted_iota(jnp.int32, (WIN_X, _NS), 0)
-    xoht = onehot_lerp(rows_x, x0m, x1m, fx, WIN_X)      # [112, 1024] bf16
+        sx = (lx * ct - ly * st) * rem + px
+        sy = (lx * st + ly * ct) * rem + py
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = (sx - x0).astype(jnp.bfloat16)
+        fy = (sy - y0).astype(jnp.bfloat16)
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
 
-    start_dma(k, k % 2).wait()
-    s1t = jnp.dot(win[k % 2], yoht,
-                  preferred_element_type=jnp.float32)    # [112, 1024] f32
-    out_ref[k % 8, :] = jnp.sum(s1t * xoht.astype(jnp.float32), axis=0)
+        x0m = _mirror(x0, mw) - ox          # [1, 1024] window-local
+        x1m = _mirror(x0 + 1, mw) - ox
+        y0m = _mirror(y0, mh) - oy
+        y1m = _mirror(y0 + 1, mh) - oy
+
+        yoht = onehot_lerp(rows_y, y0m, y1m, fy)   # [256, 1024] bf16
+        xoht = onehot_lerp(rows_x, x0m, x1m, fx)   # [112, 1024] bf16
+
+        wait_dma(g, g % 2, j)
+        s1t = jnp.dot(win[g % 2, j], yoht,
+                      preferred_element_type=jnp.float32)  # [112, 1024]
+        out_ref[(g % (8 // KB)) * KB + j, :] = jnp.sum(
+            s1t * xoht.astype(jnp.float32), axis=0)
 
 
 def _aligned_origin(c, align, margin):
@@ -216,15 +230,15 @@ def sample_patches_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,  # level, ox, oy, hw, fparams
-        grid=(Kp,),
+        grid=(Kp // KB,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # canvas (stays in HBM)
         ],
-        out_specs=pl.BlockSpec((8, _NS), lambda k, *_: (k // 8, 0),
+        out_specs=pl.BlockSpec((8, _NS), lambda g, *_: (g * KB // 8, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_X, WIN_Y), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, KB, WIN_X, WIN_Y), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, KB)),
         ],
     )
 

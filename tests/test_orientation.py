@@ -67,3 +67,23 @@ def test_keypoint_capacity_drop(test_image):
     capped = keypoints_from_blobs(coarse_j, blobs_j, max_keypoints=cap)
     assert int(capped.n_dropped) == n_total - cap
     assert int(np.asarray(capped.valid).sum()) == cap
+
+
+def test_pallas_orientation_path_matches_gather(test_image):
+    """Decimated-plane Pallas orientation (interpret) == gather path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from local_features_tpu.ops.orientation import orientation_histograms
+
+    coarse = jss.scale_space(jnp.asarray(test_image), 4)
+    blobs = detect_blobs(jss.fine_volume(coarse), max_blobs=256)
+    a1, p1 = orientation_histograms(coarse, blobs.x, blobs.y, blobs.size,
+                                    blobs.valid, use_pallas=False)
+    a2, p2 = orientation_histograms(coarse, blobs.x, blobs.y, blobs.size,
+                                    blobs.valid, use_pallas=True,
+                                    interpret=True)
+    v = np.asarray(blobs.valid)
+    assert np.array_equal(np.asarray(p1)[v], np.asarray(p2)[v])
+    pk = np.asarray(p1)[v]
+    d = np.abs(np.asarray(a1)[v] - np.asarray(a2)[v])[pk]
+    assert d.size == 0 or d.max() < 1e-4
