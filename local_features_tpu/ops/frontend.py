@@ -151,7 +151,8 @@ def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
             pyr, kps.x, kps.y, kps.size, kps.angle, kps.valid,
             patch_scale_factor,
         )
-    desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid)
+    desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid,
+                           fast=cfg.sampler == "pallas")
 
     return FrontendResult(
         x=kps.x, y=kps.y, size=kps.size, angle=kps.angle,

@@ -127,15 +127,25 @@ def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
     flat_i = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
     lx = jax.lax.rem(flat_i, _PS).astype(jnp.float32) - _PS / 2.0
     ly = (flat_i // _PS).astype(jnp.float32) - _PS / 2.0
-    rows_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_Y, _NS), 0)
-    rows_x = jax.lax.broadcasted_iota(jnp.int32, (WIN_X, _NS), 0)
+    # bf16 iotas: window-local indices (< 256) are exact in bf16, and
+    # out-of-window mirrored indices stay > 1 away from any row after
+    # bf16 rounding, so one-hot hits are still exact.
+    rows_y = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_Y, _NS), 0).astype(jnp.bfloat16)
+    rows_x = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_X, _NS), 0).astype(jnp.bfloat16)
     one = jnp.bfloat16(1.0)
 
     def onehot_lerp(rows, i0, i1, frac):
         # arithmetic one-hots (no boolean vectors — Mosaic relayout of
-        # broadcast i1 masks is unsupported): eq(i, j) = max(1-|i-j|, 0)
-        eq0 = jnp.maximum(1 - jnp.abs(rows - i0), 0).astype(jnp.bfloat16)
-        eq1 = jnp.maximum(1 - jnp.abs(rows - i1), 0).astype(jnp.bfloat16)
+        # broadcast i1 masks is unsupported): eq(i, j) = max(1-|i-j|, 0).
+        # All math in bf16 (indices < 256 are exact in bf16; halves the
+        # vreg count of the dominant [WIN, 1024] ops).
+        rows_b = rows
+        eq0 = jnp.maximum(one - jnp.abs(rows_b - i0.astype(jnp.bfloat16)),
+                          jnp.bfloat16(0.0))
+        eq1 = jnp.maximum(one - jnp.abs(rows_b - i1.astype(jnp.bfloat16)),
+                          jnp.bfloat16(0.0))
         return eq0 * (one - frac) + eq1 * frac
 
     for j in range(KB):
