@@ -125,14 +125,25 @@ def lm_bundle_adjust(
     n_iters: int = 20,
     lam0: float = 1e-3,
     fix_first_cam: bool = True,
+    huber_delta: float | None = None,
 ) -> BAResult:
-    """Levenberg-Marquardt BA with accept/reject damping adaptation."""
+    """Levenberg-Marquardt BA with accept/reject damping adaptation.
+
+    `huber_delta` (pixels) enables IRLS robust weighting: observations
+    with residual norm beyond delta get down-weighted by delta/|r| —
+    essential when tracks contain mismatches."""
     maskf = mask.astype(jnp.float32)
 
     def step(carry, _):
         state, lam = carry
         r, Xc = reprojection_residuals(state, uv, maskf, intr)
-        Jc, Jp = _jacobians(state, Xc, intr, maskf)
+        w = maskf
+        if huber_delta is not None:
+            rn = jnp.linalg.norm(r, axis=-1)
+            w = maskf * jnp.sqrt(
+                jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-9)))
+        r = r * (w / jnp.maximum(maskf, 1e-9))[..., None]
+        Jc, Jp = _jacobians(state, Xc, intr, w)
         U, V, Wm, gc, gp = _normal_equations(Jc, Jp, r)
         d_xi, d_X = _schur_solve(U, V, Wm, gc, gp, lam, fix_first_cam)
 

@@ -1,0 +1,183 @@
+"""Long-sequence visual odometry: windowed SfM chunks + Sim(3) stitching
++ global pose-graph refinement (BASELINE.md config 4 — keyframe
+trajectory estimation with ATE evaluation).
+
+Design: the sequence is split into overlapping windows; each window is
+reconstructed independently with the batched front-end + LM bundle
+adjustment (sfm/pipeline.py — all device work), windows are stitched by
+Sim(3) alignment over their shared cameras (monocular scale propagates
+through the overlap), and a final Gauss-Newton pose graph over all
+window-internal relative poses distributes residual drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import LocalFeatures
+from . import geometry as geo
+from .ba import BAState, lm_bundle_adjust
+from .pipeline import (Reconstruction, _match_pair, build_observations,
+                       reconstruct_sequence)
+from .pose_graph import PoseGraph, optimize
+from .two_view import triangulate_multiview
+
+
+@dataclass
+class OdometryResult:
+    R: np.ndarray          # [F, 3, 3] world->cam
+    t: np.ndarray          # [F, 3]
+    chunks: list = field(default_factory=list)
+
+    @property
+    def camera_centers(self) -> np.ndarray:
+        return np.einsum("cji,cj->ci", self.R, -self.t)
+
+
+def _sim3_align(R_a, t_a, R_b, t_b):
+    """Sim(3) (s, R, t) mapping chunk-b world coords into chunk-a world
+    coords, from >= 2 shared cameras.
+
+    Camera centers satisfy C_a = s * Rw @ C_b + tw; rotations satisfy
+    R_a[i] = R_b[i] @ Rw^T.
+    """
+    C_a = np.einsum("cji,cj->ci", R_a, -t_a)
+    C_b = np.einsum("cji,cj->ci", R_b, -t_b)
+    # rotation from the first shared camera's orientation
+    Rw = R_b[0].T @ R_a[0]
+    # scale from pairwise center distances
+    d_a = np.linalg.norm(C_a[1:] - C_a[0], axis=-1)
+    d_b = np.linalg.norm(C_b[1:] - C_b[0], axis=-1)
+    ok = d_b > 1e-9
+    s = float(np.median(d_a[ok] / d_b[ok])) if ok.any() else 1.0
+    tw = C_a[0] - s * (C_b[0] @ Rw)
+    return s, Rw, tw
+
+
+def _apply_sim3(s, Rw, tw, R, t):
+    """Transform world->cam poses by the world-frame Sim(3):
+    centers C' = s * C @ Rw + tw, orientations R' = R @ Rw^T."""
+    C = np.einsum("cji,cj->ci", R, -t)
+    C_new = s * C @ Rw + tw
+    R_new = np.einsum("cij,jk->cik", R, Rw.T)
+    t_new = -np.einsum("cij,cj->ci", R_new, C_new)
+    return R_new, t_new
+
+
+def reconstruct_long_sequence(
+    frames: np.ndarray,
+    intr: np.ndarray,
+    window: int = 6,
+    overlap: int = 2,
+    max_features: int = 800,
+    n_scales: int = 4,
+    ba_iters: int = 20,
+    pose_graph_iters: int = 8,
+    global_ba_iters: int = 15,
+    seed: int = 0,
+    engine: LocalFeatures | None = None,
+) -> OdometryResult:
+    """Windowed odometry over an ordered [F, H, W] frame sequence."""
+    F = frames.shape[0]
+    if F <= window:
+        rec = reconstruct_sequence(frames, intr, max_features=max_features,
+                                   n_scales=n_scales, ba_iters=ba_iters,
+                                   seed=seed, engine=engine)
+        return OdometryResult(R=rec.R, t=rec.t, chunks=[rec])
+
+    lf = engine or LocalFeatures(max_features=max_features,
+                                 n_scales=n_scales)
+    # detect features + match consecutive pairs ONCE, share across windows
+    feats = [lf.detect_top_n(frames[f], max_features) for f in range(F)]
+    all_matches = [_match_pair(feats[f].descriptors, feats[f + 1].descriptors)
+                   for f in range(F - 1)]
+
+    stride = window - overlap
+    starts = list(range(0, F - window + 1, stride))
+    if starts[-1] + window < F:
+        starts.append(F - window)
+
+    chunks: list[tuple[int, Reconstruction]] = []
+    for s0 in starts:
+        rec = reconstruct_sequence(
+            frames[s0:s0 + window], intr, max_features=max_features,
+            n_scales=n_scales, ba_iters=ba_iters, seed=seed + s0, engine=lf,
+            features=feats[s0:s0 + window],
+            matches=all_matches[s0:s0 + window - 1])
+        chunks.append((s0, rec))
+
+    # stitch chunks into the first chunk's frame via Sim(3) over overlaps
+    R_glob = np.zeros((F, 3, 3), np.float32)
+    t_glob = np.zeros((F, 3), np.float32)
+    have = np.zeros(F, bool)
+    s0, rec0 = chunks[0]
+    R_glob[s0:s0 + window] = rec0.R
+    t_glob[s0:s0 + window] = rec0.t
+    have[s0:s0 + window] = True
+    for (sc, rec) in chunks[1:]:
+        shared = [f for f in range(sc, sc + window) if have[f]]
+        ids = [f - sc for f in shared]
+        s, Rw, tw = _sim3_align(R_glob[shared], t_glob[shared],
+                                rec.R[ids], rec.t[ids])
+        R_new, t_new = _apply_sim3(s, Rw, tw, rec.R, rec.t)
+        for j, f in enumerate(range(sc, sc + window)):
+            if not have[f]:
+                R_glob[f] = R_new[j]
+                t_glob[f] = t_new[j]
+                have[f] = True
+
+    assert have.all()
+
+    # global pose graph over all chunk-internal relative poses
+    edges, R_rel, t_rel = [], [], []
+    for (sc, rec) in chunks:
+        # rescale each chunk's relative translations into the global frame
+        shared = list(range(sc, sc + window))
+        s, Rw, tw = _sim3_align(R_glob[shared], t_glob[shared], rec.R, rec.t)
+        Rr, tr = _apply_sim3(s, Rw, tw, rec.R, rec.t)
+        for i in range(window - 1):
+            a, b = sc + i, sc + i + 1
+            Ri, ti = geo.se3_inverse(jnp.asarray(Rr[i]), jnp.asarray(tr[i]))
+            Rij, tij = geo.se3_compose(jnp.asarray(Rr[i + 1]),
+                                       jnp.asarray(tr[i + 1]), Ri, ti)
+            edges.append((a, b))
+            R_rel.append(np.asarray(Rij))
+            t_rel.append(np.asarray(tij))
+
+    graph = PoseGraph(
+        R=jnp.asarray(R_glob), t=jnp.asarray(t_glob),
+        edges=jnp.asarray(np.array(edges, np.int32)),
+        R_rel=jnp.asarray(np.stack(R_rel)),
+        t_rel=jnp.asarray(np.stack(t_rel)),
+        weight=jnp.ones(len(edges)),
+    )
+    graph = optimize(graph, n_iters=pose_graph_iters)
+    R_glob = np.asarray(graph.R)
+    t_glob = np.asarray(graph.t)
+
+    if global_ba_iters > 0:
+        # global refinement: full-sequence tracks, multi-view midpoint
+        # triangulation from the stitched poses, one joint LM BA
+        uv, mask = build_observations(feats, all_matches, min_track_len=2)
+        intr_j = jnp.asarray(intr, jnp.float32)
+        x_norm = geo.normalize_points(jnp.asarray(uv), intr_j)
+        X0 = triangulate_multiview(jnp.asarray(R_glob), jnp.asarray(t_glob),
+                                   x_norm, jnp.asarray(mask))
+        # drop badly-conditioned points (behind any observing camera)
+        Xc = jnp.einsum("cij,pj->cpi", jnp.asarray(R_glob), X0) \
+            + jnp.asarray(t_glob)[:, None, :]
+        ok = np.asarray(jnp.all(jnp.where(jnp.asarray(mask),
+                                          Xc[..., 2] > 0.05, True), axis=0))
+        uv, mask, X0 = uv[:, ok], mask[:, ok], X0[ok]
+        result = lm_bundle_adjust(
+            BAState(R=jnp.asarray(R_glob), t=jnp.asarray(t_glob), X=X0),
+            jnp.asarray(uv), jnp.asarray(mask), intr_j,
+            n_iters=global_ba_iters, huber_delta=2.0)
+        R_glob = np.asarray(result.state.R)
+        t_glob = np.asarray(result.state.t)
+
+    return OdometryResult(R=R_glob, t=t_glob,
+                          chunks=[rec for _, rec in chunks])

@@ -74,6 +74,22 @@ def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int]):
     return [g for g in groups.values() if len(g) >= 2]
 
 
+def build_observations(feats, pair_matches, min_track_len=2):
+    """(uv [F, P, 2], mask [F, P]) from per-frame features + consecutive
+    pair matches, via union-find track building."""
+    F = len(feats)
+    tracks = [t for t in _build_tracks(pair_matches, [len(ft) for ft in feats])
+              if len(t) >= min_track_len]
+    P = len(tracks)
+    uv = np.zeros((F, P, 2), np.float32)
+    mask = np.zeros((F, P), bool)
+    for p, tr in enumerate(tracks):
+        for f, k in tr.items():
+            uv[f, p] = [feats[f].x[k], feats[f].y[k]]
+            mask[f, p] = True
+    return uv, mask
+
+
 def reconstruct_sequence(
     frames: np.ndarray,
     intr: np.ndarray,
@@ -84,37 +100,37 @@ def reconstruct_sequence(
     min_track_len: int = 2,
     seed: int = 0,
     engine: LocalFeatures | None = None,
+    features: list | None = None,
+    matches: list[np.ndarray] | None = None,
 ) -> Reconstruction:
     """Reconstruct a short ordered sequence of [F, H, W] grayscale frames.
 
     Pose initialization chains pairwise essential-matrix estimates with
     scale propagation via shared tracks, then a full LM BA refines
-    everything jointly.
+    everything jointly.  `features`/`matches` may be precomputed (the
+    odometry driver shares them across overlapping windows).
     """
     F = frames.shape[0]
     intr_j = jnp.asarray(intr, jnp.float32)
-    lf = engine or LocalFeatures(max_features=max_features,
-                                 n_scales=n_scales)
-    feats = [lf.detect_top_n(frames[f], max_features) for f in range(F)]
+    if features is not None:
+        feats = features
+    else:
+        lf = engine or LocalFeatures(max_features=max_features,
+                                     n_scales=n_scales)
+        feats = [lf.detect_top_n(frames[f], max_features) for f in range(F)]
 
-    pair_matches = []
-    for f in range(F - 1):
-        pair_matches.append(_match_pair(feats[f].descriptors,
-                                        feats[f + 1].descriptors, ratio))
+    if matches is not None:
+        pair_matches = matches
+    else:
+        pair_matches = []
+        for f in range(F - 1):
+            pair_matches.append(_match_pair(feats[f].descriptors,
+                                            feats[f + 1].descriptors, ratio))
 
-    tracks = [t for t in _build_tracks(pair_matches,
-                                       [len(ft) for ft in feats])
-              if len(t) >= min_track_len]
-    P = len(tracks)
+    uv, mask = build_observations(feats, pair_matches, min_track_len)
+    P = uv.shape[1]
     if P < 8:
         raise ValueError(f"too few tracks ({P}) to reconstruct")
-
-    uv = np.zeros((F, P, 2), np.float32)
-    mask = np.zeros((F, P), bool)
-    for p, tr in enumerate(tracks):
-        for f, k in tr.items():
-            uv[f, p] = [feats[f].x[k], feats[f].y[k]]
-            mask[f, p] = True
 
     uv_j = jnp.asarray(uv)
     norm = np.asarray(geo.normalize_points(uv_j, intr_j))

@@ -78,6 +78,29 @@ def triangulate(R1, t1, R2, t2, x1, x2):
     return jax.vmap(dlt)(x1, x2)
 
 
+def triangulate_multiview(R, t, x_norm, mask):
+    """Masked multi-view midpoint triangulation.
+
+    R [C,3,3], t [C,3] world->cam; x_norm [C,P,2] normalized obs;
+    mask [C,P].  Solves sum_c m (I - d d^T)(X - O_c) = 0 per point, where
+    O_c is the camera center and d the unit ray direction in world
+    coordinates.  Returns X [P,3].
+    """
+    m = mask.astype(jnp.float32)
+    # rays in world frame
+    d_cam = jnp.concatenate([x_norm, jnp.ones_like(x_norm[..., :1])], -1)
+    d_w = jnp.einsum("cji,cpj->cpi", R, d_cam)            # R^T d
+    d_w = d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
+    O = jnp.einsum("cji,cj->ci", R, -t)                   # centers [C,3]
+    I = jnp.eye(3)
+    P_mat = I[None, None] - d_w[..., :, None] * d_w[..., None, :]
+    P_mat = P_mat * m[..., None, None]                    # [C,P,3,3]
+    A = jnp.sum(P_mat, axis=0)                            # [P,3,3]
+    b = jnp.sum(jnp.einsum("cpij,cj->cpi", P_mat, O), axis=0)
+    A = A + 1e-6 * I
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
 def _recover_pose(E, x1, x2, w):
     """Decompose E into (R, t) picking the solution with the most points
     in front of both cameras (cheirality check)."""

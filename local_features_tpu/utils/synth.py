@@ -154,3 +154,33 @@ def render_sequence(
         for f in range(n_frames)
     ])
     return frames, R, t, intr, world
+
+
+def corridor_sequence(
+    rng: np.ndarray,
+    n_frames: int = 14,
+    height: int = 240,
+    width: int = 320,
+    n_points: int = 400,
+    step: float = 0.35,
+):
+    """Lateral-dolly trajectory through a wide sprite field — the
+    odometry test scene (the scene stays in view for long sequences,
+    unlike the fixed arc of render_sequence)."""
+    world = make_sprite_world(rng, n_points=n_points, extent=6.0)
+    Rs, ts = [], []
+    for f in range(n_frames):
+        a = 0.02 * np.sin(f * 0.9)
+        cy, sy = np.cos(a), np.sin(a)
+        R = np.array([[cy, 0, -sy], [0, 1, 0], [sy, 0, cy]], np.float32)
+        C = np.array([step * f - step * (n_frames - 1) / 2,
+                      0.03 * np.cos(f), 0.05 * np.sin(f * 0.5)], np.float32)
+        Rs.append(R)
+        ts.append(-R @ C)
+    R_gt, t_gt = np.stack(Rs), np.stack(ts)
+    intr = np.array([300.0, 300.0, width / 2, height / 2], np.float32)
+    frames = np.stack([
+        render_frame(world, R_gt[f], t_gt[f], intr, height, width)
+        for f in range(n_frames)
+    ])
+    return frames, R_gt, t_gt, intr, world
