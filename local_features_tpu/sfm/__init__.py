@@ -14,6 +14,7 @@ Everything is batched, statically-shaped, jit-compatible JAX:
   psum-reduced camera Hessian over the mesh (ICI collectives)
 """
 
-from . import geometry, two_view, ba, pose_graph
+from . import geometry, two_view, ba, pose_graph, distributed, pipeline, odometry
 
-__all__ = ["geometry", "two_view", "ba", "pose_graph"]
+__all__ = ["geometry", "two_view", "ba", "pose_graph", "distributed",
+           "pipeline", "odometry"]
