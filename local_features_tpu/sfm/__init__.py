@@ -14,7 +14,8 @@ Everything is batched, statically-shaped, jit-compatible JAX:
   psum-reduced camera Hessian over the mesh (ICI collectives)
 """
 
-from . import geometry, two_view, ba, pose_graph, distributed, pipeline, odometry
+from . import (geometry, two_view, ba, pose_graph, distributed, pipeline,
+               odometry, io)
 
 __all__ = ["geometry", "two_view", "ba", "pose_graph", "distributed",
-           "pipeline", "odometry"]
+           "pipeline", "odometry", "io"]
