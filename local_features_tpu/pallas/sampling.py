@@ -55,7 +55,9 @@ WIN_X = 112   # 90.6 px footprint + 16-sublane (bf16 tile) alignment slack
 WIN_Y = 256   # 90.6 px footprint + 128-lane alignment slack
 _PS = C.PATCH_SIZE  # 32
 _NS = _PS * _PS     # 1024
-KB = 4              # keypoints per grid program (amortizes step overhead)
+# keypoints per grid program (amortizes per-step overhead; env knob for
+# experiments — must divide or be divided by 8 for the out-block tiling)
+KB = int(__import__("os").environ.get("LF_SAMPLER_KB", "4"))
 
 
 def _round_up(v: int, m: int) -> int:
@@ -137,16 +139,22 @@ def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
     one = jnp.bfloat16(1.0)
 
     def onehot_lerp(rows, i0, i1, frac):
-        # arithmetic one-hots (no boolean vectors — Mosaic relayout of
-        # broadcast i1 masks is unsupported): eq(i, j) = max(1-|i-j|, 0).
-        # All math in bf16 (indices < 256 are exact in bf16; halves the
-        # vreg count of the dominant [WIN, 1024] ops).
-        rows_b = rows
-        eq0 = jnp.maximum(one - jnp.abs(rows_b - i0.astype(jnp.bfloat16)),
-                          jnp.bfloat16(0.0))
-        eq1 = jnp.maximum(one - jnp.abs(rows_b - i1.astype(jnp.bfloat16)),
-                          jnp.bfloat16(0.0))
-        return eq0 * (one - frac) + eq1 * frac
+        # Signed-tent bilinear weights, one fused expression instead of
+        # two arithmetic one-hots:
+        #     w(row) = max(0, 1 - |(row - i0) - s*frac|),  s = i1 - i0.
+        # Exactly equals onehot(i0)*(1-frac) + onehot(i1)*frac for the
+        # three cases the mirror produces: s=+1 (interior ascending),
+        # s=-1 (descending mirror branch), s=0 (fold: both taps land on
+        # the same row, total weight 1).  All math in bf16: row - i0 is
+        # an exact small integer, and the tent only needs sub-ulp
+        # accuracy within |d| <= 2 where bf16 resolution is 2^-7 —
+        # comparable to the GPU texture units' 8-bit subtexel precision.
+        # (No boolean vectors — Mosaic relayout of broadcast i1 masks is
+        # unsupported.)
+        s = (i1 - i0).astype(jnp.bfloat16)
+        sfrac = s * frac                       # [1, NS]
+        d = rows - i0.astype(jnp.bfloat16)     # [WIN, NS]
+        return jnp.maximum(one - jnp.abs(d - sfrac), jnp.bfloat16(0.0))
 
     for j in range(KB):
         k = g * KB + j
@@ -180,8 +188,8 @@ def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
         wait_dma(g, g % 2, j)
         s1t = jnp.dot(win[g % 2, j], yoht,
                       preferred_element_type=jnp.float32)  # [112, 1024]
-        out_ref[(g % (8 // KB)) * KB + j, :] = jnp.sum(
-            s1t * xoht.astype(jnp.float32), axis=0)
+        row = (g % max(8 // KB, 1)) * KB + j
+        out_ref[row, :] = jnp.sum(s1t * xoht.astype(jnp.float32), axis=0)
 
 
 def _aligned_origin(c, align, margin):
@@ -209,7 +217,7 @@ def sample_patches_pallas(
         raise TypeError(
             f"canvas must be bfloat16 (see build_canvas), got {canvas.dtype}")
     K = kx.shape[0]
-    Kp = _round_up(max(K, 8), 8)
+    Kp = _round_up(max(K, 8), max(KB, 8))
     L = canvas.shape[0]
     psf = jnp.asarray(patch_scale_factor, jnp.float32)
 
@@ -244,7 +252,8 @@ def sample_patches_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # canvas (stays in HBM)
         ],
-        out_specs=pl.BlockSpec((8, _NS), lambda g, *_: (g * KB // 8, 0),
+        out_specs=pl.BlockSpec((max(KB, 8), _NS),
+                               lambda g, *_: (g * KB // max(KB, 8), 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, KB, WIN_X, WIN_Y), jnp.bfloat16),

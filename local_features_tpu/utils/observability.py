@@ -1,4 +1,4 @@
-"""Observability: per-phase timing, device profiling, result serialization.
+"""Observability: per-phase timing and device profiling.
 
 The reference's observability surface is `log` tracing around submits,
 readback-count debug logs, and drop counters in the result struct
@@ -6,8 +6,7 @@ readback-count debug logs, and drop counters in the result struct
 - drop counters live on FeaturesResult / FrontendResult (same contract)
 - `phase_timer` wraps host-visible phases with wall-clock logging
 - `device_trace` wraps a block in a jax.profiler trace for xprof dumps
-- save/load for reconstructions (checkpoint/resume of SfM state — the
-  reference is stateless per frame; map state is new engineering)
+SfM state serialization (checkpoint/resume) lives in sfm/io.py.
 """
 
 from __future__ import annotations
@@ -15,8 +14,6 @@ from __future__ import annotations
 import contextlib
 import logging
 import time
-
-import numpy as np
 
 logger = logging.getLogger("local_features_tpu")
 
@@ -46,17 +43,3 @@ def device_trace(log_dir: str = "/tmp/lf_tpu_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
-
-
-def save_reconstruction(path: str, rec) -> None:
-    """Serialize a Reconstruction / OdometryResult to .npz."""
-    data = {"R": rec.R, "t": rec.t}
-    for k in ("X", "uv", "mask"):
-        if hasattr(rec, k) and getattr(rec, k) is not None:
-            data[k] = np.asarray(getattr(rec, k))
-    np.savez_compressed(path, **data)
-
-
-def load_reconstruction(path: str) -> dict:
-    with np.load(path) as f:
-        return {k: f[k] for k in f.files}
