@@ -26,6 +26,7 @@ import jax.numpy as jnp  # noqa: E402
 from PIL import Image, ImageDraw  # noqa: E402
 
 from local_features_tpu import LocalFeatures  # noqa: E402
+from local_features_tpu.utils.platform import apply_platform_env  # noqa: E402
 from local_features_tpu.ops.matching import match_descriptors, mutual_match  # noqa: E402
 
 
@@ -37,6 +38,7 @@ def load_gray(path: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def main() -> int:
+    apply_platform_env()  # LF_PLATFORM=cpu forces CPU
     ap = argparse.ArgumentParser()
     ap.add_argument("image_a")
     ap.add_argument("image_b")

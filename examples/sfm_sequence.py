@@ -25,10 +25,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax.numpy as jnp  # noqa: E402
 
 from local_features_tpu.sfm.pipeline import reconstruct_sequence  # noqa: E402
+from local_features_tpu.utils.platform import apply_platform_env  # noqa: E402
 from local_features_tpu.sfm.pose_graph import absolute_trajectory_error  # noqa: E402
 
 
 def main() -> int:
+    apply_platform_env()  # LF_PLATFORM=cpu forces CPU
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", nargs="*", default=None)
     ap.add_argument("--fx", type=float, default=300.0)

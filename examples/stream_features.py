@@ -26,6 +26,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from local_features_tpu import native  # noqa: E402
+from local_features_tpu.utils.platform import apply_platform_env  # noqa: E402
 from local_features_tpu.ops.frontend import FrontendConfig  # noqa: E402
 from local_features_tpu.ops.matching import match_descriptors  # noqa: E402
 from local_features_tpu.parallel import batched_detect_extract  # noqa: E402
@@ -50,6 +51,7 @@ def _write_synthetic_pgms(out_dir: str, n: int, h: int, w: int) -> list[str]:
 
 
 def main() -> int:
+    apply_platform_env()  # LF_PLATFORM=cpu forces CPU
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", nargs="*", default=None,
                     help="PGM/PPM files (default: synthetic stream)")

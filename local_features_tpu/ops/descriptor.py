@@ -125,18 +125,28 @@ def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return mag, ang
 
 
+def _vm_stack(c1, s1, m, coef):
+    """[K, 7, N] von Mises components from cos/sin of the base angle.
+
+    Higher harmonics come from Chebyshev-style recurrences
+    (cos2 = 2c^2-1, sin2 = 2sc, cos3 = 2*cos2*c - c, sin3 = 2*cos2*s + s)
+    instead of extra transcendental evaluations."""
+    c2 = 2.0 * c1 * c1 - 1.0
+    s2 = 2.0 * s1 * c1
+    c3 = 2.0 * c2 * c1 - c1
+    s3 = 2.0 * c2 * s1 + s1
+    comps = [jnp.full_like(c1, float(coef[0])),
+             float(coef[1]) * c1, float(coef[2]) * c2, float(coef[3]) * c3,
+             float(coef[1]) * s1, float(coef[2]) * s2, float(coef[3]) * s3]
+    return jnp.stack(comps, axis=1) * m[:, None, :]
+
+
 def _von_mises_lift(ang: jnp.ndarray, mag: jnp.ndarray) -> jnp.ndarray:
     """[K, 7, 1024] von Mises lift x magnitude (embedding.glsl:44-54)."""
     K = ang.shape[0]
     a = ang.reshape(K, -1)
     m = mag.reshape(K, -1)
-    c = C.VM_FOURIER_N3_K8
-    comps = [jnp.full_like(a, c[0]),
-             float(c[1]) * jnp.cos(a), float(c[2]) * jnp.cos(2 * a),
-             float(c[3]) * jnp.cos(3 * a),
-             float(c[1]) * jnp.sin(a), float(c[2]) * jnp.sin(2 * a),
-             float(c[3]) * jnp.sin(3 * a)]
-    return jnp.stack(comps, axis=1) * m[:, None, :]
+    return _vm_stack(jnp.cos(a), jnp.sin(a), m, C.VM_FOURIER_N3_K8)
 
 
 def raw_mkd_descriptors(patches: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
@@ -148,9 +158,20 @@ def raw_mkd_descriptors(patches: jnp.ndarray, fast: bool = False) -> jnp.ndarray
     K = patches.shape[0]
     mag, ang = patches_mag_angle(patches)
 
-    ga = jnp.asarray(C.gradient_angle_table())
-    lift_rel = _von_mises_lift(ang + ga[None], mag)         # [K, 7, 1024]
-    lift = _von_mises_lift(ang, mag)
+    # One cos+sin evaluation serves BOTH lifts: the polar lift's pixel
+    # angle offset (ang + ga) is applied with the angle-addition formula
+    # against precomputed cos/sin tables of ga, and higher harmonics use
+    # recurrences (_vm_stack) — 2 transcendentals total instead of 12.
+    a = ang.reshape(K, -1)
+    m = mag.reshape(K, -1)
+    c1, s1 = jnp.cos(a), jnp.sin(a)
+    ga = C.gradient_angle_table().reshape(-1)
+    cg = jnp.asarray(np.cos(ga))[None, :]
+    sg = jnp.asarray(np.sin(ga))[None, :]
+    c1r = c1 * cg - s1 * sg
+    s1r = s1 * cg + c1 * sg
+    lift_rel = _vm_stack(c1r, s1r, m, C.VM_FOURIER_N3_K8)   # [K, 7, 1024]
+    lift = _vm_stack(c1, s1, m, C.VM_FOURIER_N3_K8)
 
     polar_planes = jnp.asarray(C.polar_embedding_planes().reshape(25, -1).T)
     cart_planes = jnp.asarray(C.cart_embedding_planes().reshape(9, -1).T)

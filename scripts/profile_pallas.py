@@ -1,0 +1,111 @@
+"""Cumulative-prefix timing of the REAL bench path (Pallas sampler +
+Pallas orientation windows + bf16 fast MKD), vmapped B=8 at bench.py
+shapes.  Stage cost = delta between successive prefixes.
+
+Complements profile_stages.py (which times the exact-XLA fallback path).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import local_features_tpu.ops.scale_space as ss
+    from local_features_tpu.ops.descriptor import mkd_descriptors
+    from local_features_tpu.ops.detect import detect_blobs
+    from local_features_tpu.ops.frontend import FrontendConfig, _truncate_blobs
+    from local_features_tpu.ops.matching import match_descriptors
+    from local_features_tpu.ops.orientation import keypoints_from_blobs
+    from local_features_tpu.ops.pyramid import patch_pyramid_mips
+    from local_features_tpu.pallas.sampling import (build_canvas,
+                                                    sample_patches_pallas)
+    from local_features_tpu.pca import load_pca
+
+    B, H, W = 8, 480, 640
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    cfg = FrontendConfig(n_scales=4, max_blobs=8000, max_keypoints=2000,
+                         max_filtered=2000, sampler="pallas")
+    mean, proj = load_pca().attenuated
+    mean, proj = jnp.asarray(mean), jnp.asarray(proj)
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = (np.sin(xx / 7.0) * np.cos(yy / 9.0)
+            + 0.5 * np.sin(xx / 23.0 + 1.0) * np.cos(yy / 17.0))
+    imgs = jnp.asarray(np.stack([
+        0.5 + 0.25 * base + 0.1 * rng.standard_normal((H, W))
+        for _ in range(B)]).astype(np.float32))
+
+    def prefix(img, upto):
+        coarse = ss.scale_space(img, cfg.n_scales)
+        if upto == "scale":
+            return jnp.sum(coarse)
+        fine = ss.fine_volume(coarse)
+        if upto == "fine":
+            return jnp.sum(fine)
+        blobs = detect_blobs(fine, cfg.max_blobs, 0.0)
+        if upto == "detect":
+            return jnp.sum(blobs.contrast)
+        filt = _truncate_blobs(blobs, cfg.max_filtered, 2000)
+        kps = keypoints_from_blobs(coarse, filt, cfg.max_keypoints,
+                                   use_pallas=True)
+        if upto == "orient":
+            return jnp.sum(kps.angle)
+        mips = patch_pyramid_mips(coarse)
+        canvas = build_canvas(mips)
+        if upto == "pyramid":
+            return jnp.sum(canvas.astype(jnp.float32))
+        widths = jnp.asarray([m.shape[1] for m in mips], jnp.int32)
+        heights = jnp.asarray([m.shape[0] for m in mips], jnp.int32)
+        patches = sample_patches_pallas(canvas, widths, heights, kps.x,
+                                        kps.y, kps.size, kps.angle,
+                                        kps.valid, 24.0)
+        if upto == "sample":
+            return jnp.sum(patches)
+        desc = mkd_descriptors(patches, mean, proj, kps.valid, fast=True)
+        if upto == "desc":
+            return jnp.sum(desc)
+        return desc, kps.valid
+
+    def run(upto):
+        if upto == "match":
+            @jax.jit
+            def step(x):
+                d, v = jax.vmap(lambda im: prefix(im, "match"))(x)
+                m = jax.vmap(match_descriptors)(
+                    d, jnp.roll(d, -1, 0), v, jnp.roll(v, -1, 0))
+                s = jnp.sum(d) + jnp.sum(m.scores * m.mask)
+                return x + 1e-20 * s
+        else:
+            @jax.jit
+            def step(x):
+                s = jnp.sum(jax.vmap(lambda im: prefix(im, upto))(x))
+                return x + 1e-20 * s
+
+        x = step(imgs)
+        _ = np.asarray(jnp.sum(x))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x)
+        _ = np.asarray(jnp.sum(x))
+        return (time.perf_counter() - t0) / iters
+
+    prev = 0.0
+    for stage in ["scale", "fine", "detect", "orient", "pyramid", "sample",
+                  "desc", "match"]:
+        dt = run(stage)
+        print(f"{stage:8s} cum {dt*1e3:8.2f} ms  delta {(dt-prev)*1e3:7.2f} ms"
+              f"  ({B/dt:6.1f} fps)", flush=True)
+        prev = dt
+
+
+if __name__ == "__main__":
+    main()
