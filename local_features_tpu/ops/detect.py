@@ -146,8 +146,13 @@ def hierarchical_top_k(
     level to `n_chunks * chunk_cap` elements.  Exact whenever no chunk
     holds more than `chunk_cap` positive-score entries — strict
     26-neighbor extrema can't exceed 1/8 voxel density, far below
-    256/4096, so in practice this is exact (the caller still counts
-    total candidates separately for the drop counters).
+    256/4096.  Because the extremum test allows ties (`>=`,
+    scan_extrema.glsl semantics), a degenerate above-threshold plateau
+    *can* make whole regions extremal and saturate a chunk; that case is
+    detected at runtime (per-chunk positive-count > cap) and falls back
+    to an exact flat top_k via `lax.cond`, so the result is exact for
+    every input — the fast path just stops being taken on pathological
+    frames.
 
     Returns (values[k], flat_indices[k]).
     """
@@ -159,10 +164,22 @@ def hierarchical_top_k(
                      constant_values=-jnp.inf)
     s2 = padded.reshape(n_chunks, chunk)
     cap = min(chunk_cap, chunk, k)
-    v1, i1 = jax.lax.top_k(s2, cap)                       # [n_chunks, cap]
-    flat_i = i1 + (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
-    v2, i2 = jax.lax.top_k(v1.reshape(-1), k)
-    return v2, flat_i.reshape(-1)[i2]
+
+    def fast(_):
+        v1, i1 = jax.lax.top_k(s2, cap)                   # [n_chunks, cap]
+        flat_i = i1 + (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
+        v2, i2 = jax.lax.top_k(v1.reshape(-1), k)
+        return v2, flat_i.reshape(-1)[i2]
+
+    def exact(_):
+        v, i = jax.lax.top_k(score, k)
+        return v, i
+
+    # candidates carry positive scores (callers mask invalid to <= 0)
+    saturated = jnp.any(
+        jnp.sum(s2 > 0.0, axis=1, dtype=jnp.int32) > cap
+    )
+    return jax.lax.cond(saturated, exact, fast, operand=None)
 
 
 def detect_blobs(

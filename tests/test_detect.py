@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from local_features_tpu import golden
 import local_features_tpu.ops.scale_space as jss
-from local_features_tpu.ops.detect import detect_blobs
+from local_features_tpu.ops.detect import detect_blobs, hierarchical_top_k
 
 
 def _blob_sets(test_image, min_size=0.0):
@@ -47,6 +47,42 @@ def test_min_size_gate(test_image):
     n_expected = int((g.size >= 3.0).sum())
     assert len(j["x"]) == n_expected
     assert np.all(j["size"] >= 3.0)
+
+
+def test_hierarchical_top_k_saturated_chunk_exact():
+    """A chunk holding more positives than chunk_cap must not lose any.
+
+    The extremum test allows ties (>=), so a degenerate above-threshold
+    plateau can make whole regions extremal; the saturation guard must
+    fall back to an exact top_k instead of silently dropping candidates.
+    """
+    rng = np.random.default_rng(0)
+    n, k = 64 * 4096, 512
+    score = np.full(n, -1.0, np.float32)
+    # cram 1500 positives (> chunk_cap=256) into one chunk, the best
+    # ones strictly inside it, plus a sprinkle elsewhere
+    dense = rng.uniform(5.0, 9.0, 1500).astype(np.float32)
+    score[10 * 4096: 10 * 4096 + 1500] = dense
+    sparse_idx = rng.choice(n, 300, replace=False)
+    score[sparse_idx] = rng.uniform(0.1, 4.0, 300).astype(np.float32)
+
+    v, i = hierarchical_top_k(jnp.asarray(score), k)
+    ev, ei = np.sort(score)[::-1][:k], np.argsort(-score, kind="stable")[:k]
+    np.testing.assert_allclose(np.asarray(v), ev)
+    # indices must point at equal-valued entries
+    np.testing.assert_allclose(score[np.asarray(i)], ev)
+
+
+def test_hierarchical_top_k_unsaturated_matches_flat():
+    rng = np.random.default_rng(1)
+    n, k = 64 * 4096, 512
+    score = np.full(n, -1.0, np.float32)
+    idx = rng.choice(n, 2000, replace=False)
+    score[idx] = rng.uniform(0.1, 9.0, 2000).astype(np.float32)
+    v, i = hierarchical_top_k(jnp.asarray(score), k)
+    ev = np.sort(score)[::-1][:k]
+    np.testing.assert_allclose(np.asarray(v), ev)
+    np.testing.assert_allclose(score[np.asarray(i)], ev)
 
 
 def test_capacity_and_drop_counter(test_image):
