@@ -28,6 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 from local_features_tpu import native  # noqa: E402
 from local_features_tpu.utils.platform import apply_platform_env  # noqa: E402
 from local_features_tpu.ops.frontend import FrontendConfig  # noqa: E402
+from local_features_tpu.ops.index import DescriptorIndex  # noqa: E402
 from local_features_tpu.ops.matching import match_descriptors  # noqa: E402
 from local_features_tpu.parallel import batched_detect_extract  # noqa: E402
 from local_features_tpu.pca import load_pca  # noqa: E402
@@ -60,6 +61,11 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--max-features", type=int, default=1000)
+    ap.add_argument("--snapshot", type=int, default=None, metavar="FRAME",
+                    help="take frame FRAME as a persistent snapshot and "
+                    "match every later frame against its descriptor index "
+                    "(the reference webcam demo's snapshot workflow) "
+                    "instead of consecutive-frame matching")
     args = ap.parse_args()
 
     tmp = None
@@ -104,6 +110,7 @@ def main() -> int:
 
     buf, n_frames, t0 = [], 0, time.perf_counter()
     first = True
+    snap_index: DescriptorIndex | None = None
     for frame in loader:
         buf.append(frame)
         if len(buf) < B:
@@ -112,13 +119,31 @@ def main() -> int:
         buf = []
         res, m, prev_desc, prev_valid = step(imgs, prev_desc, prev_valid)
         nk = np.asarray(res.n_keypoints)
-        nm = np.asarray(m.mask).sum(axis=1)
         if first:
             t0 = time.perf_counter()  # exclude compile from fps
             first = False
             n_frames = 0
+        if args.snapshot is not None and snap_index is None \
+                and n_frames + B > args.snapshot:
+            i = max(0, args.snapshot - n_frames)
+            snap_index = DescriptorIndex(ratio=0.75)
+            snap_index.add(np.asarray(res.descriptors[i])
+                           [np.asarray(res.valid[i])])
+            print(f"snapshot @ frame {n_frames + i}: indexed "
+                  f"{len(snap_index)} descriptors")
+        if snap_index is not None:
+            # batched 2-NN query against the persistent snapshot bank
+            # (webcam demo's per-frame loop, main.rs:261-282)
+            qm = snap_index.search(
+                np.asarray(res.descriptors).reshape(-1, 128),
+                valid=np.asarray(res.valid).reshape(-1))
+            nm = np.asarray(qm.mask).reshape(B, -1).sum(axis=1)
+            tag = "snapshot matches"
+        else:
+            nm = np.asarray(m.mask).sum(axis=1)
+            tag = "matches"
         n_frames += B
-        print(f"batch: keypoints {nk.tolist()} matches {nm.tolist()}")
+        print(f"batch: keypoints {nk.tolist()} {tag} {nm.tolist()}")
     dt = time.perf_counter() - t0
     if n_frames:
         print(f"{n_frames} frames in {dt:.2f}s = {n_frames / dt:.1f} fps "

@@ -11,12 +11,14 @@ kernelized pooling, mask/top_k compaction instead of atomics, and
 from .api import LocalFeatures
 from .types import FeaturesResult, Keypoint
 from .pca import load_pca, PCAModel
+from .ops.index import DescriptorIndex
 from . import constants, ops, golden
 
 __version__ = "0.1.0"
 
 __all__ = [
     "LocalFeatures",
+    "DescriptorIndex",
     "FeaturesResult",
     "Keypoint",
     "load_pca",

@@ -6,8 +6,9 @@ validity masks and drop counters — the TPU-native equivalent of the
 reference's fixed GPU buffers + atomic counters.
 """
 
-from . import scale_space, detect, pyramid, orientation, descriptor, matching, frontend
+from . import scale_space, detect, pyramid, orientation, descriptor, matching, frontend, index
 from .detect import detect_blobs, BlobArrays
+from .index import DescriptorIndex, IndexMatches
 from .orientation import keypoints_from_blobs, KeypointArrays
 from .descriptor import sample_patches, mkd_descriptors, raw_mkd_descriptors
 from .matching import match_descriptors, mutual_match
@@ -21,6 +22,9 @@ __all__ = [
     "descriptor",
     "matching",
     "frontend",
+    "index",
+    "DescriptorIndex",
+    "IndexMatches",
     "detect_blobs",
     "BlobArrays",
     "keypoints_from_blobs",

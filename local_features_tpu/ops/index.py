@@ -1,0 +1,145 @@
+"""Persistent on-device descriptor index — the usearch replacement.
+
+The reference's webcam demo keeps a snapshot's descriptors in a usearch
+inner-product index (examples/webcam/src/main.rs:97-109: 128-d, MetricKind::IP,
+f32) and queries every live frame's descriptors against it with 2-NN,
+accepting a match when ``distances[0] < distances[1] * 0.75``
+(main.rs:261-282) where usearch's IP "distance" is ``1 - dot``.
+
+TPU-first redesign: instead of a CPU graph index (HNSW pointer chasing is
+hostile to the MXU), the bank is a dense ``[capacity, dim]`` device array and
+a query is one ``[M, dim] x [dim, capacity]`` matmul + two masked max
+reductions — exact 2-NN, not approximate, and faster than HNSW at the bank
+sizes the demo uses (thousands of descriptors; a 2k x 16k bf16 matmul is
+~microseconds on one v5e MXU).  Appends go to a host-side staging bank and
+are shipped to the device lazily so repeated queries against an unchanged
+snapshot pay zero transfers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class IndexMatches(NamedTuple):
+    indices: jnp.ndarray  # [M] i32 bank row of best match (-1 = none)
+    sims: jnp.ndarray     # [M] f32 inner-product similarity of best match
+    mask: jnp.ndarray     # [M] bool passed the distance-ratio test
+
+
+@partial(jax.jit, static_argnames=())
+def _query_bank(bank, bank_valid, q, q_valid, ratio):
+    """Exact 2-NN + usearch-style distance-ratio test, one matmul."""
+    sim = jnp.dot(q, bank.T, preferred_element_type=jnp.float32)
+    sim = jnp.where(bank_valid[None, :], sim, -jnp.inf)
+    ibest = jnp.argmax(sim, axis=1)
+    best = jnp.max(sim, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    second = jnp.max(jnp.where(cols == ibest[:, None], -jnp.inf, sim), axis=1)
+    # usearch IP distance = 1 - dot; accept iff d0 < d1 * ratio
+    # (main.rs:266).  -inf second (bank of one) -> d1 = +inf -> accept.
+    mask = (1.0 - best) < (1.0 - second) * ratio
+    mask &= q_valid & (best > -jnp.inf)
+    return IndexMatches(
+        indices=jnp.where(mask, ibest.astype(jnp.int32), -1),
+        sims=best,
+        mask=mask,
+    )
+
+
+class DescriptorIndex:
+    """Incremental inner-product descriptor index with exact 2-NN queries.
+
+    Drop-in for the reference webcam's usearch workflow: build from a
+    snapshot's ``FeaturesResult``, then query each live frame.  Rows keep
+    insertion order, so ``indices`` returned by :meth:`search` line up with
+    whatever per-row payload (keypoints) the caller stored alongside.
+    """
+
+    def __init__(self, dim: int = 128, capacity: int = 1024,
+                 ratio: float = 0.75):
+        self.dim = int(dim)
+        self.ratio = float(ratio)
+        self._cap = max(64, int(capacity))
+        self._bank = np.zeros((self._cap, self.dim), np.float32)
+        self._n = 0
+        self._device = None  # (bank, valid) jnp arrays, invalidated on add
+
+    def __len__(self) -> int:
+        return self._n
+
+    @classmethod
+    def from_features(cls, result, ratio: float = 0.75) -> "DescriptorIndex":
+        """Build from a FeaturesResult (the snapshot path, main.rs:97-109)."""
+        desc = np.asarray(result.descriptors, np.float32)
+        idx = cls(dim=desc.shape[1] if desc.size else 128,
+                  capacity=max(64, desc.shape[0]), ratio=ratio)
+        if desc.shape[0]:
+            idx.add(desc)
+        return idx
+
+    def add(self, descriptors) -> np.ndarray:
+        """Append rows; returns the assigned row ids [n] (insertion order)."""
+        d = np.asarray(descriptors, np.float32)
+        if d.ndim == 1:
+            d = d[None]
+        if d.shape[1] != self.dim:
+            raise ValueError(f"descriptor dim {d.shape[1]} != index dim "
+                             f"{self.dim}")
+        n_new = d.shape[0]
+        need = self._n + n_new
+        if need > self._cap:
+            # double (power-of-two capacities bound jit recompiles)
+            while self._cap < need:
+                self._cap *= 2
+            grown = np.zeros((self._cap, self.dim), np.float32)
+            grown[: self._n] = self._bank[: self._n]
+            self._bank = grown
+        ids = np.arange(self._n, need, dtype=np.int32)
+        self._bank[self._n: need] = d
+        self._n = need
+        self._device = None
+        return ids
+
+    def _device_bank(self):
+        if self._device is None:
+            valid = np.zeros((self._cap,), bool)
+            valid[: self._n] = True
+            self._device = (jnp.asarray(self._bank), jnp.asarray(valid))
+        return self._device
+
+    def search(self, descriptors, valid=None,
+               ratio: float | None = None) -> IndexMatches:
+        """2-NN + distance-ratio query for a batch of descriptors.
+
+        Per-frame query loop of the reference demo (main.rs:261-282),
+        batched into one device call.
+        """
+        q = jnp.asarray(descriptors, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        if valid is None:
+            q_valid = jnp.ones((q.shape[0],), bool)
+        else:
+            q_valid = jnp.asarray(valid, bool)
+        bank, bank_valid = self._device_bank()
+        r = jnp.float32(self.ratio if ratio is None else ratio)
+        return _query_bank(bank, bank_valid, q, q_valid, r)
+
+    def save(self, path) -> None:
+        np.savez(path, bank=self._bank[: self._n],
+                 dim=np.int32(self.dim), ratio=np.float64(self.ratio))
+
+    @classmethod
+    def load(cls, path) -> "DescriptorIndex":
+        z = np.load(path)
+        idx = cls(dim=int(z["dim"]), capacity=max(64, z["bank"].shape[0]),
+                  ratio=float(z["ratio"]))
+        if z["bank"].shape[0]:
+            idx.add(z["bank"])
+        return idx
