@@ -185,6 +185,30 @@ class LocalFeatures:
             out.append(self._to_host(one))
         return out
 
+    def detect_sequence(
+        self, frames: np.ndarray, n: int | None = None,
+        min_size: float = 0.0, batch: int = 8,
+    ) -> list[FeaturesResult]:
+        """Extract features for an ordered [F, H, W] sequence at
+        bench-level throughput: frames run through the vmapped batched
+        front-end `batch` at a time (ONE device call per batch instead of
+        one per frame), with the tail padded to the batch size so every
+        batch hits the same compiled executable."""
+        frames = np.asarray(frames, dtype=np.float32)
+        F = frames.shape[0]
+        if F == 0:
+            return []
+        batch = max(1, min(int(batch), F))
+        out: list[FeaturesResult] = []
+        for s in range(0, F, batch):
+            chunk = frames[s: s + batch]
+            pad = batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            out.extend(self.detect_batch(chunk, n, min_size)[: batch - pad])
+        return out
+
     def _run(self, img, top_n, min_size, all_blobs) -> FeaturesResult:
         img = np.asarray(img, dtype=np.float32)
         if img.ndim != 2:

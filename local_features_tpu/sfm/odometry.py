@@ -91,7 +91,8 @@ def reconstruct_long_sequence(
     lf = engine or LocalFeatures(max_features=max_features,
                                  n_scales=n_scales)
     # detect features + match consecutive pairs ONCE, share across windows
-    feats = [lf.detect_top_n(frames[f], max_features) for f in range(F)]
+    # (batched front-end: one device call per 8 frames, bench-level rate)
+    feats = lf.detect_sequence(frames, max_features)
     all_matches = [_match_pair(feats[f].descriptors, feats[f + 1].descriptors)
                    for f in range(F - 1)]
 

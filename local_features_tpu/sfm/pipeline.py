@@ -117,7 +117,7 @@ def reconstruct_sequence(
     else:
         lf = engine or LocalFeatures(max_features=max_features,
                                      n_scales=n_scales)
-        feats = [lf.detect_top_n(frames[f], max_features) for f in range(F)]
+        feats = lf.detect_sequence(frames, max_features)
 
     if matches is not None:
         pair_matches = matches

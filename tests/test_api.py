@@ -37,6 +37,25 @@ def test_detect_with_filter_custom(test_image):
     assert len(np.unique(r.response)) == n_expected_blobs
 
 
+def test_detect_sequence_matches_single(test_image):
+    """detect_sequence (batched, tail-padded) == per-frame detect_top_n."""
+    rng = np.random.default_rng(5)
+    frames = np.stack([
+        np.clip(test_image + 0.02 * rng.standard_normal(test_image.shape),
+                0, 1).astype(np.float32)
+        for _ in range(5)
+    ])
+    lf = LocalFeatures(max_features=128, max_blobs=512, n_scales=4)
+    seq = lf.detect_sequence(frames, 64, batch=2)  # odd tail exercises pad
+    assert len(seq) == 5
+    for f in range(5):
+        single = lf.detect_top_n(frames[f], 64)
+        assert len(seq[f]) == len(single)
+        np.testing.assert_allclose(seq[f].x, single.x, atol=1e-5)
+        np.testing.assert_allclose(seq[f].descriptors, single.descriptors,
+                                   atol=1e-5)
+
+
 def test_detect_batch_matches_single(test_image):
     rng = np.random.default_rng(3)
     imgs = np.stack([
