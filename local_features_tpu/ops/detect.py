@@ -160,10 +160,14 @@ def hierarchical_top_k(
     if n <= 4 * chunk or k >= n:
         return jax.lax.top_k(score, min(k, n))
     n_chunks = -(-n // chunk)
+    cap = min(chunk_cap, chunk, k)
+    if n_chunks * cap < k:
+        # too few chunks to source k survivors (small images with large
+        # max_blobs): the two-level scheme can't be exact, go flat
+        return jax.lax.top_k(score, k)
     padded = jnp.pad(score, (0, n_chunks * chunk - n),
                      constant_values=-jnp.inf)
     s2 = padded.reshape(n_chunks, chunk)
-    cap = min(chunk_cap, chunk, k)
 
     def fast(_):
         v1, i1 = jax.lax.top_k(s2, cap)                   # [n_chunks, cap]

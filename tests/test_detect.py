@@ -85,6 +85,18 @@ def test_hierarchical_top_k_unsaturated_matches_flat():
     np.testing.assert_allclose(score[np.asarray(i)], ev)
 
 
+def test_hierarchical_top_k_few_chunks_large_k():
+    """k > n_chunks*chunk_cap (small image, large max_blobs) must stay
+    exact via the flat fallback — regression for the 120x160/8000 case."""
+    rng = np.random.default_rng(2)
+    n, k = 5 * 4096, 4000
+    score = rng.uniform(-1.0, 1.0, n).astype(np.float32)
+    v, i = hierarchical_top_k(jnp.asarray(score), k)
+    ev = np.sort(score)[::-1][:k]
+    np.testing.assert_allclose(np.asarray(v), ev)
+    np.testing.assert_allclose(score[np.asarray(i)], ev)
+
+
 def test_capacity_and_drop_counter(test_image):
     fine = jss.fine_volume(jss.scale_space(jnp.asarray(test_image), 4))
     j_all = detect_blobs(fine, max_blobs=256)
