@@ -15,7 +15,7 @@ Everything is batched, statically-shaped, jit-compatible JAX:
 """
 
 from . import (geometry, two_view, ba, pose_graph, distributed, pipeline,
-               odometry, io)
+               odometry, io, datasets)
 
 __all__ = ["geometry", "two_view", "ba", "pose_graph", "distributed",
-           "pipeline", "odometry", "io"]
+           "pipeline", "odometry", "io", "datasets"]
