@@ -43,6 +43,8 @@ class FrontendConfig:
     # "pallas" = TPU window-DMA + one-hot-matmul sampler (bf16 pyramid,
     # ~50x faster than the XLA gather); "xla" = exact f32 gather fallback.
     sampler: str = "xla"
+    # run Pallas kernels in interpret mode (CPU debugging/parity only)
+    interpret: bool = False
 
 
 
@@ -105,7 +107,8 @@ def extract_from_blobs(
     """Extract phase: orientation + patches + descriptors from a filtered
     blob set (parity with the reference's extract taskgraph)."""
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
-                               use_pallas=cfg.sampler == "pallas")
+                               use_pallas=cfg.sampler == "pallas",
+                               interpret=cfg.interpret)
     return _finish_extract(coarse, filtered, kps, cfg, pca_mean, pca_proj,
                            patch_scale_factor)
 
@@ -126,7 +129,8 @@ def detect_extract(
     filtered = _truncate_blobs(blobs, cfg.max_filtered, top_n)
 
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
-                               use_pallas=cfg.sampler == "pallas")
+                               use_pallas=cfg.sampler == "pallas",
+                               interpret=cfg.interpret)
 
     return _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
                            patch_scale_factor)
@@ -143,7 +147,7 @@ def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
         heights = jnp.asarray([m.shape[0] for m in mips], dtype=jnp.int32)
         patches = sample_patches_pallas(
             canvas, widths, heights, kps.x, kps.y, kps.size, kps.angle,
-            kps.valid, patch_scale_factor,
+            kps.valid, patch_scale_factor, interpret=cfg.interpret,
         )
     else:
         pyr = flat_pyramid(mips)
