@@ -13,9 +13,13 @@ from __future__ import annotations
 import os
 
 
-def apply_platform_env(var: str = "LF_PLATFORM") -> str | None:
-    """If env `var` is set, force that JAX platform; returns the value."""
-    value = os.environ.get(var)
+def apply_platform_env(var: str = "LF_PLATFORM",
+                       default: str | None = None) -> str | None:
+    """If env `var` is set (else `default`), force that JAX platform.
+
+    Returns the applied value, if any.  Scripts that must never contend
+    for the (single, tunneled) TPU pass default="cpu"."""
+    value = os.environ.get(var) or default
     if value:
         import jax
 
