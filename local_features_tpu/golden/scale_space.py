@@ -95,7 +95,110 @@ def scan_extrema(
     (scan_extrema.glsl:198-202 — the re-rounded branch never appends).
     Edge-like blobs are rejected via the curvature-anisotropy criterion
     cm = 1 - 4*det/tr^2 of the spatial Hessian inside [0.7, 1.5].
+
+    Vectorized (dense window max/min + fancy-indexed refinement) so full
+    resolution real-image e2e parity is tractable; emission order is the
+    loop's (z, y, x) raster order.  `_scan_extrema_loop` keeps the
+    literal per-voxel transcription as a cross-check oracle
+    (tests/test_detect.py::test_vectorized_scan_matches_loop).
     """
+    L, H, W = fine.shape
+    b = max(border, 1)
+    if L < 3 or H <= 2 * b or W <= 2 * b:
+        return Blobs(*(np.array([], dt) for dt in
+                       (np.float32, np.float32, np.float32, np.float32,
+                        np.int32)))
+
+    # 3x3x3 window max/min (center included — v>=v is vacuous), then the
+    # candidate mask on the interior region.
+    wmax = fine.copy()
+    wmin = fine.copy()
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dz == dy == dx == 0:
+                    continue
+                sl_dst = (slice(max(0, -dz), L - max(0, dz)),
+                          slice(max(0, -dy), H - max(0, dy)),
+                          slice(max(0, -dx), W - max(0, dx)))
+                sl_src = (slice(max(0, dz), L - max(0, -dz)),
+                          slice(max(0, dy), H - max(0, -dy)),
+                          slice(max(0, dx), W - max(0, -dx)))
+                np.maximum(wmax[sl_dst], fine[sl_src], out=wmax[sl_dst])
+                np.minimum(wmin[sl_dst], fine[sl_src], out=wmin[sl_dst])
+
+    mask = np.zeros((L, H, W), dtype=bool)
+    core = (slice(1, L - 1), slice(b, H - b), slice(b, W - b))
+    vc = fine[core]
+    mask[core] = (np.abs(vc) > contrast_threshold) & (
+        ((vc > 0) & (vc >= wmax[core])) | ((vc < 0) & (vc <= wmin[core])))
+
+    z, y, x = np.nonzero(mask)  # C-order == the loop's (z, y, x) order
+    if len(z) == 0:
+        return Blobs(*(np.array([], dt) for dt in
+                       (np.float32, np.float32, np.float32, np.float32,
+                        np.int32)))
+
+    f = fine
+    v = f[z, y, x]
+    dds = (f[z + 1, y, x] - f[z - 1, y, x]) / 2.0
+    ddy = (f[z, y + 1, x] - f[z, y - 1, x]) / 2.0
+    ddx = (f[z, y, x + 1] - f[z, y, x - 1]) / 2.0
+    v2 = v * 2.0
+    h11 = f[z + 1, y, x] + f[z - 1, y, x] - v2
+    h22 = f[z, y + 1, x] + f[z, y - 1, x] - v2
+    h33 = f[z, y, x + 1] + f[z, y, x - 1] - v2
+    h12 = (f[z + 1, y + 1, x] - f[z - 1, y + 1, x]
+           - f[z + 1, y - 1, x] + f[z - 1, y - 1, x]) / 4.0
+    h13 = (f[z + 1, y, x + 1] - f[z - 1, y, x + 1]
+           - f[z + 1, y, x - 1] + f[z - 1, y, x - 1]) / 4.0
+    h23 = (f[z, y + 1, x + 1] - f[z, y + 1, x - 1]
+           - f[z, y - 1, x + 1] + f[z, y - 1, x - 1]) / 4.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        det = (h11 * h22 * h33 - h11 * h23 * h23 - h12 * h12 * h33
+               + 2.0 * h12 * h13 * h23 - h13 * h13 * h22)
+        hi11 = (h22 * h33 - h23 * h23) / det
+        hi12 = (h13 * h23 - h12 * h33) / det
+        hi13 = (h12 * h23 - h13 * h22) / det
+        hi22 = (h11 * h33 - h13 * h13) / det
+        hi23 = (h12 * h13 - h11 * h23) / det
+        hi33 = (h11 * h22 - h12 * h12) / det
+        off_s = -(hi11 * dds + hi12 * ddy + hi13 * ddx)
+        off_y = -(hi12 * dds + hi22 * ddy + hi23 * ddx)
+        off_x = -(hi13 * dds + hi23 * ddy + hi33 * ddx)
+        # NaN offsets compare False (like the scalar loop) — kept.
+        drop = ((np.abs(off_x) > 0.5) | (np.abs(off_y) > 0.5)
+                | (np.abs(off_s) > 0.5))
+        interp = off_s * dds + off_y * ddy + off_x * ddx
+        contrast = np.abs(v + interp / 2.0)
+        denom = (h22 + h33) ** 2
+        cm = 1.0 - 4.0 * (h22 * h33 - h23 * h23) / denom
+        drop |= denom == 0
+        drop |= (C.CM_TAU_LOW <= cm) & (cm <= C.CM_TAU_HIGH)
+
+    keep = ~drop
+    # size semantics: double-precision exp2, ONE rounding to f32 (numpy's
+    # f32 scalar-vs-array pow paths differ by ulps; pin it explicitly).
+    # Survivors only — dropped rows can hold inf/NaN offsets.
+    size = (C.DOG_FIRST_SCALE_SIGMA * C.DOG_SIGMA_RADIUS_FACTOR
+            * 2.0 ** (z[keep].astype(np.float64)
+                      + off_s[keep].astype(np.float64)))
+    return Blobs(
+        x=(x + off_x)[keep].astype(np.float32),
+        y=(y + off_y)[keep].astype(np.float32),
+        size=size.astype(np.float32),
+        contrast=contrast[keep].astype(np.float32),
+        level=z[keep].astype(np.int32),
+    )
+
+
+def _scan_extrema_loop(
+    fine: np.ndarray,
+    border: int = C.DETECT_BORDER,
+    contrast_threshold: float = C.CONTRAST_THRESHOLD,
+) -> Blobs:
+    """Literal per-voxel transcription of scan_extrema.glsl (slow oracle
+    for the vectorized `scan_extrema`)."""
     L, H, W = fine.shape
     xs, ys, sizes, contrasts, levels = [], [], [], [], []
     b = max(border, 1)
@@ -145,7 +248,7 @@ def scan_extrema(
                 if C.CM_TAU_LOW <= cm <= C.CM_TAU_HIGH:
                     continue
                 size = (C.DOG_FIRST_SCALE_SIGMA * C.DOG_SIGMA_RADIUS_FACTOR
-                        * 2.0 ** (z + off_s))
+                        * 2.0 ** (float(z) + float(off_s)))
                 xs.append(x + off_x)
                 ys.append(y + off_y)
                 sizes.append(size)

@@ -109,3 +109,33 @@ def test_capacity_and_drop_counter(test_image):
     c_all = np.sort(np.asarray(j_all.contrast)[np.asarray(j_all.valid)])[::-1]
     c_cap = np.sort(np.asarray(j_cap.contrast)[np.asarray(j_cap.valid)])[::-1]
     np.testing.assert_allclose(c_cap, c_all[:cap], atol=1e-7)
+
+
+def test_vectorized_scan_matches_loop(rng):
+    """The vectorized golden scan is bitwise-identical to the literal
+    per-voxel GLSL transcription, including tie/degenerate paths."""
+    from local_features_tpu.golden.scale_space import _scan_extrema_loop
+
+    H, W = 96, 128
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.zeros((H, W), np.float32)
+    for _ in range(50):
+        cx, cy = rng.uniform(0, W), rng.uniform(0, H)
+        s = rng.uniform(1.5, 10.0)
+        a = rng.uniform(-1, 1)
+        img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    img = (0.5 + 0.2 * img
+           + 0.02 * rng.standard_normal((H, W))).astype(np.float32)
+    # plateau patch to exercise the >= tie semantics
+    img[40:44, 40:46] = img[40, 40]
+    fine = golden.fine_volume(golden.scale_space(img, 4))
+
+    for thr in (golden.scale_space.__globals__["C"].CONTRAST_THRESHOLD,
+                1e-4, 0.0):
+        a = golden.scan_extrema(fine, contrast_threshold=thr)
+        b = _scan_extrema_loop(fine, contrast_threshold=thr)
+        assert len(a.x) == len(b.x)
+        for f in ("x", "y", "size", "contrast", "level"):
+            ga, gb = getattr(a, f), getattr(b, f)
+            assert np.array_equal(ga, gb,
+                                  equal_nan=ga.dtype.kind == "f"), (thr, f)
