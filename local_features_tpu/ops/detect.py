@@ -137,22 +137,30 @@ def dense_candidates(
 
 
 def hierarchical_top_k(
-    score: jnp.ndarray, k: int, chunk: int = 4096, chunk_cap: int = 256
+    score: jnp.ndarray, k: int, chunk: int = 4096, chunk_cap: int = 256,
+    rescue: int = 4,
 ):
     """Two-level top_k over a large flat score array.
 
     A flat `lax.top_k` over ~2M elements costs ~28 ms/8-frame batch on
     v5e; chunking to per-chunk top-`chunk_cap` first cuts the second
-    level to `n_chunks * chunk_cap` elements.  Exact whenever no chunk
-    holds more than `chunk_cap` positive-score entries — strict
-    26-neighbor extrema can't exceed 1/8 voxel density, far below
-    256/4096.  Because the extremum test allows ties (`>=`,
+    level to `n_chunks * chunk_cap` elements.  The capped pool alone is
+    exact whenever no chunk holds more than `chunk_cap` positive-score
+    entries — strict 26-neighbor extrema can't exceed 1/8 voxel density,
+    far below 256/4096.  Because the extremum test allows ties (`>=`,
     scan_extrema.glsl semantics), a degenerate above-threshold plateau
-    *can* make whole regions extremal and saturate a chunk; that case is
-    detected at runtime (per-chunk positive-count > cap) and falls back
-    to an exact flat top_k via `lax.cond`, so the result is exact for
-    every input — the fast path just stops being taken on pathological
-    frames.
+    *can* make whole regions extremal and saturate a chunk.
+
+    Plateau rescue: the `rescue` chunks with the highest positive-entry
+    counts contribute their FULL contents to the second-level pool
+    (their capped rows are masked out so nothing is double-counted).
+    Saturated chunks always out-count unsaturated ones, so the result is
+    exact for up to `rescue` simultaneously saturated chunks.  This is
+    branch-free (a `lax.cond` fallback turns into a both-branches
+    `select` under vmap, re-paying the full flat top_k every batch);
+    beyond `rescue` saturated chunks the per-chunk strongest still
+    survive and callers account the loss exactly via their kept-count
+    (see detect_blobs: n_dropped = n_total - n_kept).
 
     Returns (values[k], flat_indices[k]).
     """
@@ -165,25 +173,30 @@ def hierarchical_top_k(
         # too few chunks to source k survivors (small images with large
         # max_blobs): the two-level scheme can't be exact, go flat
         return jax.lax.top_k(score, k)
-    padded = jnp.pad(score, (0, n_chunks * chunk - n),
-                     constant_values=-jnp.inf)
+    # finite pad: 0 * pad must stay finite in the rescue one-hot matmul,
+    # and callers treat scores <= 0 as invalid anyway
+    padded = jnp.pad(score, (0, n_chunks * chunk - n), constant_values=-1.0)
     s2 = padded.reshape(n_chunks, chunk)
 
-    def fast(_):
-        v1, i1 = jax.lax.top_k(s2, cap)                   # [n_chunks, cap]
-        flat_i = i1 + (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
-        v2, i2 = jax.lax.top_k(v1.reshape(-1), k)
-        return v2, flat_i.reshape(-1)[i2]
+    v1, i1 = jax.lax.top_k(s2, cap)                       # [n_chunks, cap]
+    flat_i = i1 + (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
 
-    def exact(_):
-        v, i = jax.lax.top_k(score, k)
-        return v, i
+    r = min(rescue, n_chunks)
+    counts = jnp.sum(s2 > 0.0, axis=1, dtype=jnp.int32)   # [n_chunks]
+    _, c_idx = jax.lax.top_k(counts, r)                   # suspect chunks
+    onehot = (c_idx[:, None] == jnp.arange(n_chunks)[None, :])  # [r, nc]
+    v1 = jnp.where(onehot.any(axis=0)[:, None], -jnp.inf, v1)
+    # full contents of the suspect chunks, gathered as an exact one-hot
+    # matmul (scalar gathers are ~100M elem/s on TPU; this is free)
+    rescue_v = jnp.einsum("rc,cj->rj", onehot.astype(jnp.float32), s2,
+                          precision=jax.lax.Precision.HIGHEST)  # [r, chunk]
+    rescue_i = (c_idx[:, None] * chunk
+                + jnp.arange(chunk, dtype=jnp.int32)[None, :])
 
-    # candidates carry positive scores (callers mask invalid to <= 0)
-    saturated = jnp.any(
-        jnp.sum(s2 > 0.0, axis=1, dtype=jnp.int32) > cap
-    )
-    return jax.lax.cond(saturated, exact, fast, operand=None)
+    pool_v = jnp.concatenate([v1.reshape(-1), rescue_v.reshape(-1)])
+    pool_i = jnp.concatenate([flat_i.reshape(-1), rescue_i.reshape(-1)])
+    v2, i2 = jax.lax.top_k(pool_v, k)
+    return v2, pool_i[i2]
 
 
 def detect_blobs(
@@ -210,6 +223,9 @@ def detect_blobs(
     score = jnp.where(valid, contrast, -1.0).reshape(-1)
     top_scores, top_idx = hierarchical_top_k(score, max_blobs)
     sel_valid = top_scores > 0.0
+    # exact even under >rescue plateau saturation, where fewer than
+    # min(n_total, max_blobs) candidates can survive the capped pool
+    n_kept = jnp.sum(sel_valid, dtype=jnp.int32)
 
     flat = lambda a: a.reshape(-1)[top_idx]
     zz = jnp.broadcast_to(
@@ -223,5 +239,5 @@ def detect_blobs(
         level=flat(zz),
         valid=sel_valid,
         n_total=n_total,
-        n_dropped=jnp.maximum(n_total - max_blobs, 0),
+        n_dropped=n_total - n_kept,
     )

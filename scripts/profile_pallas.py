@@ -55,6 +55,46 @@ def main():
         if upto == "detect":
             return jnp.sum(blobs.contrast)
         filt = _truncate_blobs(blobs, cfg.max_filtered, 2000)
+        if upto in ("ocanvas", "owin", "oextract"):
+            # orientation sub-stages (mirrors _sample_ori_patches_pallas)
+            import local_features_tpu.ops.orientation as ori
+            from local_features_tpu.pallas.windows import fetch_windows_multi
+            canvases = ori._decimated_canvases(coarse)
+            if upto == "ocanvas":
+                return sum(jnp.sum(c) for c in canvases)
+            xi = jnp.floor(filt.x).astype(jnp.int32)
+            yi = jnp.floor(filt.y).astype(jnp.int32)
+            from local_features_tpu import constants as C
+            nC = coarse.shape[0]
+            level = jnp.round(jnp.log2(filt.size / (
+                C.DOG_FIRST_SCALE_SIGMA * C.DOG_SIGMA_RADIUS_FACTOR)))
+            level = jnp.clip(level, 0, nC - 1).astype(jnp.int32)
+            lv = jnp.minimum(level, ori._DECIM_LEVELS - 1)
+            sstep = jnp.left_shift(1, lv)
+            plane = jnp.mod(yi, sstep) * sstep + jnp.mod(xi, sstep)
+            yd = jnp.right_shift(yi, lv)
+            xd = jnp.right_shift(xi, lv)
+            oy = jnp.maximum(((yd - ori._R) // 8) * 8, 0)
+            ox = jnp.maximum(((xd - ori._R) // 128) * 128, 0)
+            win = fetch_windows_multi(canvases, lv, plane, oy, ox,
+                                      win_h=ori._OWIN_H, win_w=ori._OWIN_W)
+            if upto == "owin":
+                return jnp.sum(win)
+            y_local = yd - ori._R - oy
+            x_local = xd - ori._R - ox
+            rows = jnp.arange(ori._OWIN_H, dtype=jnp.int32)
+            cols = jnp.arange(ori._OWIN_W, dtype=jnp.int32)
+            r15 = jnp.arange(ori._PS, dtype=jnp.int32)
+            By = (rows[None, None, :]
+                  == (y_local[:, None] + r15[None, :])[..., None]
+                  ).astype(jnp.float32)
+            Bx = (cols[None, :, None]
+                  == (x_local[:, None] + r15[None, :])[:, None, :]
+                  ).astype(jnp.float32)
+            patch = jnp.einsum("fri,fij,fjc->frc", By, win, Bx,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum(patch)
         kps = keypoints_from_blobs(coarse, filt, cfg.max_keypoints,
                                    use_pallas=True)
         if upto == "orient":
@@ -98,9 +138,14 @@ def main():
         _ = np.asarray(jnp.sum(x))
         return (time.perf_counter() - t0) / iters
 
+    import os as _os
+    stages = ["scale", "fine", "detect", "orient", "pyramid", "sample",
+              "desc", "match"]
+    if _os.environ.get("LF_PROFILE_ORI") == "1":
+        stages = ["scale", "fine", "detect", "ocanvas", "owin", "oextract",
+                  "orient"]
     prev = 0.0
-    for stage in ["scale", "fine", "detect", "orient", "pyramid", "sample",
-                  "desc", "match"]:
+    for stage in stages:
         dt = run(stage)
         print(f"{stage:8s} cum {dt*1e3:8.2f} ms  delta {(dt-prev)*1e3:7.2f} ms"
               f"  ({B/dt:6.1f} fps)", flush=True)

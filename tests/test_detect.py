@@ -53,8 +53,9 @@ def test_hierarchical_top_k_saturated_chunk_exact():
     """A chunk holding more positives than chunk_cap must not lose any.
 
     The extremum test allows ties (>=), so a degenerate above-threshold
-    plateau can make whole regions extremal; the saturation guard must
-    fall back to an exact top_k instead of silently dropping candidates.
+    plateau can make whole regions extremal; the plateau rescue must
+    keep the result exact (full contents of saturated chunks reach the
+    second-level pool) instead of silently dropping candidates.
     """
     rng = np.random.default_rng(0)
     n, k = 64 * 4096, 512
@@ -139,3 +140,59 @@ def test_vectorized_scan_matches_loop(rng):
             ga, gb = getattr(a, f), getattr(b, f)
             assert np.array_equal(ga, gb,
                                   equal_nan=ga.dtype.kind == "f"), (thr, f)
+
+
+def test_hierarchical_top_k_multi_saturated_exact():
+    """Up to `rescue` simultaneously saturated chunks stay exact."""
+    rng = np.random.default_rng(3)
+    n, k = 64 * 4096, 2048
+    score = np.full(n, -1.0, np.float32)
+    for c in (3, 17, 40, 55):  # rescue=4 chunks, all saturated
+        score[c * 4096: c * 4096 + 800] = rng.uniform(
+            1.0, 9.0, 800).astype(np.float32)
+    score[rng.choice(n, 200, replace=False)] = rng.uniform(
+        0.1, 0.9, 200).astype(np.float32)
+    v, i = hierarchical_top_k(jnp.asarray(score), k)
+    ev = np.sort(score)[::-1][:k]
+    np.testing.assert_allclose(np.asarray(v), ev)
+    np.testing.assert_allclose(score[np.asarray(i)], ev)
+    assert len(np.unique(np.asarray(i)[np.asarray(v) > 0])) == int(
+        (np.asarray(v) > 0).sum())
+
+
+def test_hierarchical_top_k_beyond_rescue_consistent():
+    """>rescue saturated chunks: per-chunk strongest survive, results
+    stay self-consistent (no duplicates, values match indices), and the
+    global strongest entries are still exact."""
+    rng = np.random.default_rng(4)
+    n, k = 64 * 4096, 2048
+    score = np.full(n, -1.0, np.float32)
+    for c in range(6):  # 6 saturated chunks > rescue=4
+        score[c * 4096: c * 4096 + 700] = rng.uniform(
+            1.0, 9.0, 700).astype(np.float32)
+    v, i = hierarchical_top_k(jnp.asarray(score), k)
+    v, i = np.asarray(v), np.asarray(i)
+    pos = v > 0
+    np.testing.assert_allclose(score[i[pos]], v[pos])
+    assert len(np.unique(i[pos])) == pos.sum()
+    # the top chunk_cap values are exact regardless of saturation
+    ev = np.sort(score)[::-1]
+    np.testing.assert_allclose(v[:256], ev[:256])
+
+
+def test_detect_drop_counter_under_plateau():
+    """A degenerate plateau image keeps n_total/n_dropped/kept-count
+    consistent (n_dropped = n_total - n_kept, exactly)."""
+    H, W = 256, 512
+    img = np.zeros((H, W), np.float32)
+    img[64:192, 128:384] = 0.9  # huge flat plateau
+    rng = np.random.default_rng(5)
+    img += 0.05 * rng.standard_normal((H, W)).astype(np.float32)
+    img[100:140, 200:300] = 0.9  # exact-tie interior region
+    fine = jss.fine_volume(jss.scale_space(jnp.asarray(img), 4))
+    blobs = detect_blobs(fine, max_blobs=512)
+    n_total = int(blobs.n_total)
+    n_kept = int(np.asarray(blobs.valid).sum())
+    n_dropped = int(blobs.n_dropped)
+    assert n_dropped == n_total - n_kept
+    assert n_kept <= 512
