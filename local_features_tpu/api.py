@@ -86,7 +86,15 @@ class LocalFeatures:
     # -- public API --------------------------------------------------------
 
     def detect(self, img: np.ndarray) -> FeaturesResult:
-        """All keypoints up to capacity (reference `detect_extract_all`)."""
+        """All keypoints up to capacity (reference `detect_extract_all`).
+
+        Capacity means `max_features` keypoint slots: blobs flow through
+        at `max_blobs`, each blob can emit several orientations, and the
+        strongest-first compaction keeps the first `max_features` of
+        them (the excess is reported in `dropped_features`) — the same
+        two-tier contract as the reference's max_blobs/max_features
+        build params (lib.rs:55-75).
+        """
         return self._run(img, top_n=self.max_blobs, min_size=0.0,
                          all_blobs=True)
 

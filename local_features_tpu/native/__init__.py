@@ -130,10 +130,17 @@ def load_pnm_gray(path: str, oh: int = 0, ow: int = 0) -> np.ndarray:
         rc = lib.lf_load_pnm_gray(path.encode(), out.ctypes.data, oh, ow,
                                   ctypes.byref(sh), ctypes.byref(sw))
     else:
-        # probe header first via a tiny read to size the buffer
+        # probe header first via a tiny read to size the buffer.
+        # PNM headers may contain '#' comments between any tokens
+        # (handled by the C++ decoder too, frame_pipeline.cpp:91).
         with open(path, "rb") as f:
-            head = f.read(64)
-        parts = head.split()
+            head = f.read(1024)
+        clean = b"\n".join(
+            ln.split(b"#", 1)[0] for ln in head.splitlines()
+        )
+        parts = clean.split()
+        if len(parts) < 3:
+            raise IOError(f"{path}: could not parse PNM header")
         h, w = int(parts[2]), int(parts[1])
         out = np.empty((h, w), np.float32)
         rc = lib.lf_load_pnm_gray(path.encode(), out.ctypes.data, 0, 0,

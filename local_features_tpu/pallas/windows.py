@@ -12,6 +12,17 @@ v5e) with pure DMA traffic.
 `fetch_windows` reads from one canvas; `fetch_windows_multi` selects one
 of several canvases per item with predicated DMAs (used for the
 per-level decimated plane stacks, whose plane sizes differ by level).
+
+Batching: the pallas_call is wrapped in `jax.custom_batching.custom_vmap`
+whose rule folds the vmapped batch dimension into the PLANE dimension
+(canvases [B, P, Hc, Wc] -> [B*P, Hc, Wc], plane' = b*P + plane) and
+invokes ONE flat-grid kernel.  The default vmap lowering of pallas_call
+(batch dim prepended to the grid) is exactly where Mosaic has faulted on
+real v5e hardware — "TPU backend error (Internal)" at 240x320 B=4 in the
+round-2 stress sweep, and the round-1 B=8 worker crashes — while the
+same kernels at the same shapes pass with a flat grid.  The fold is also
+the better TPU program: one kernel launch, one uninterrupted DMA
+pipeline across all B*F items.
 """
 
 from __future__ import annotations
@@ -20,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,6 +61,55 @@ def _kernel_single(plane_ref, oy_ref, ox_ref, canvas_ref, out_ref, sem, *,
         dma(j).wait()
 
 
+def _broadcast_unbatched(axis_size, args, batched):
+    return tuple(
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip(args, batched)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _single_core(win_h: int, win_w: int, kb: int, interpret: bool):
+    """custom_vmap'd flat-grid kernel invocation (inputs pre-padded)."""
+
+    @custom_vmap
+    def core(plane, oy, ox, canvas):
+        Fp = plane.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(Fp // kb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((kb, win_h, win_w),
+                                   lambda g, *_: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((kb,))],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_single, kb=kb, win_h=win_h,
+                              win_w=win_w),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Fp, win_h, win_w), canvas.dtype),
+            interpret=interpret,
+        )(plane, oy, ox, canvas)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, plane, oy, ox, canvas):
+        B = axis_size
+        plane, oy, ox, canvas = _broadcast_unbatched(
+            B, (plane, oy, ox, canvas), in_batched)
+        Fp = plane.shape[1]
+        P = canvas.shape[1]
+        b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Fp)
+        out = core(
+            b_idx * P + plane.reshape(-1),
+            oy.reshape(-1), ox.reshape(-1),
+            canvas.reshape((B * P,) + canvas.shape[2:]),
+        )
+        return out.reshape(B, Fp, win_h, win_w), True
+
+    return core
+
+
 @functools.partial(jax.jit,
                    static_argnames=("win_h", "win_w", "kb", "interpret"))
 def fetch_windows(
@@ -66,21 +127,7 @@ def fetch_windows(
     Fp = _round_up(max(F, kb), kb)
     pad = lambda a: jnp.pad(a, (0, Fp - F)) if Fp != F else a
     plane, oy, ox = map(pad, (plane, oy, ox))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(Fp // kb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((kb, win_h, win_w), lambda g, *_: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((kb,))],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel_single, kb=kb, win_h=win_h, win_w=win_w),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Fp, win_h, win_w), canvas.dtype),
-        interpret=interpret,
-    )(plane, oy, ox, canvas)
+    out = _single_core(win_h, win_w, kb, interpret)(plane, oy, ox, canvas)
     return out[:F]
 
 
@@ -114,6 +161,58 @@ def _kernel_multi(sel_ref, plane_ref, oy_ref, ox_ref, *rest, kb, win_h,
                 dma(c, canvas_ref, j).wait()
 
 
+@functools.lru_cache(maxsize=None)
+def _multi_core(n_canvases: int, win_h: int, win_w: int, kb: int,
+                interpret: bool):
+    """custom_vmap'd flat-grid kernel invocation (inputs pre-padded)."""
+
+    @custom_vmap
+    def core(sel, plane, oy, ox, *canvases):
+        Fp = plane.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Fp // kb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_canvases,
+            out_specs=pl.BlockSpec((kb, win_h, win_w),
+                                   lambda g, *_: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((kb,))],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_multi, kb=kb, win_h=win_h,
+                              win_w=win_w, n_canvases=n_canvases),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Fp, win_h, win_w),
+                                           canvases[0].dtype),
+            interpret=interpret,
+        )(sel, plane, oy, ox, *canvases)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, sel, plane, oy, ox, *canvases):
+        B = axis_size
+        sel, plane, oy, ox = _broadcast_unbatched(
+            B, (sel, plane, oy, ox), in_batched[:4])
+        canvases = _broadcast_unbatched(B, canvases, in_batched[4:])
+        Fp = plane.shape[1]
+        sel_f = sel.reshape(-1)
+        # plane count of the selected canvas, per item (arithmetic select
+        # over <=4 compares — no gather)
+        np_sel = sum(
+            jnp.where(sel_f == c, jnp.int32(canv.shape[1]), jnp.int32(0))
+            for c, canv in enumerate(canvases)
+        )
+        b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Fp)
+        out = core(
+            sel_f,
+            b_idx * np_sel + plane.reshape(-1),
+            oy.reshape(-1), ox.reshape(-1),
+            *(c.reshape((B * c.shape[1],) + c.shape[2:]) for c in canvases),
+        )
+        return out.reshape(B, Fp, win_h, win_w), True
+
+    return core
+
+
 @functools.partial(jax.jit,
                    static_argnames=("win_h", "win_w", "kb", "interpret"))
 def fetch_windows_multi(
@@ -132,21 +231,6 @@ def fetch_windows_multi(
     Fp = _round_up(max(F, kb), kb)
     pad = lambda a: jnp.pad(a, (0, Fp - F)) if Fp != F else a
     sel, plane, oy, ox = map(pad, (sel, plane, oy, ox))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(Fp // kb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(canvases),
-        out_specs=pl.BlockSpec((kb, win_h, win_w), lambda g, *_: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((kb,))],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel_multi, kb=kb, win_h=win_h, win_w=win_w,
-                          n_canvases=len(canvases)),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Fp, win_h, win_w),
-                                       canvases[0].dtype),
-        interpret=interpret,
-    )(sel, plane, oy, ox, *canvases)
+    core = _multi_core(len(canvases), win_h, win_w, kb, interpret)
+    out = core(sel, plane, oy, ox, *canvases)
     return out[:F]

@@ -71,3 +71,25 @@ def test_detect_batch_matches_single(test_image):
         np.testing.assert_allclose(batch[b].x, single.x, atol=1e-5)
         np.testing.assert_allclose(batch[b].descriptors, single.descriptors,
                                    atol=1e-5)
+
+
+def test_detect_keypoint_cap_below_blob_cap(test_image):
+    """detect() lets blobs flow at max_blobs but caps keypoint slots at
+    max_features: with a tiny max_features the result is truncated to
+    exactly max_features and the excess is reported in dropped_features
+    (two-tier capacity contract, lib.rs:55-75)."""
+    lf_big = LocalFeatures(max_features=256, max_blobs=512, n_scales=4)
+    r_big = lf_big.detect(test_image)
+    n_all = len(r_big.keypoints_array)
+    assert n_all > 8, "fixture must produce more keypoints than the cap"
+    assert r_big.dropped_features == 0
+
+    lf_small = LocalFeatures(max_features=8, max_blobs=512, n_scales=4)
+    r_small = lf_small.detect(test_image)
+    assert len(r_small.keypoints_array) == 8
+    assert r_small.dropped_features == n_all - 8
+    # compaction is strongest-blob-first: the kept keypoints are a
+    # subset of the full result's keypoints
+    big_set = {tuple(np.round(row[:3], 4)) for row in r_big.keypoints_array}
+    for row in r_small.keypoints_array:
+        assert tuple(np.round(row[:3], 4)) in big_set

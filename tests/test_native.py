@@ -97,3 +97,19 @@ def test_frame_pipeline_resize(tmp_path, rng):
     assert len(out) == 3 and out[0].shape == (16, 24)
     ref = native.resize_bilinear(g.astype(np.float32) / 255.0, 16, 24)
     np.testing.assert_allclose(out[0], ref, atol=1e-6)
+
+
+def test_load_pnm_with_comments(tmp_path, rng):
+    """PNM comments ('#' to end-of-line, legal between any header
+    tokens) must not break the Python header probe (it previously read
+    only 64 bytes and assumed the first 3 whitespace tokens were
+    magic/w/h)."""
+    g = rng.integers(0, 256, (12, 17), dtype=np.uint8)
+    p = tmp_path / "c.pgm"
+    comment = b"# " + b"x" * 80 + b"\n"
+    with open(p, "wb") as f:
+        f.write(b"P5\n" + comment + b"17 # width\n" + comment
+                + b"12\n255\n")
+        f.write(g.tobytes())
+    got = native.load_pnm_gray(str(p))
+    np.testing.assert_allclose(got, g.astype(np.float32) / 255.0, atol=1e-6)
