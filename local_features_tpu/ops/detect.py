@@ -227,7 +227,18 @@ def detect_blobs(
     # min(n_total, max_blobs) candidates can survive the capped pool
     n_kept = jnp.sum(sel_valid, dtype=jnp.int32)
 
-    flat = lambda a: a.reshape(-1)[top_idx]
+    # Invalid slots MUST be zeroed, not left with whatever the gather
+    # returns: the dense refine computes x/y/size at EVERY voxel, and on
+    # rejected candidates the near-singular Hessian solve yields wild
+    # values (offsets ~1e30, size=inf).  Downstream stages compute
+    # window-DMA offsets for all slots (validity only masks
+    # contributions), and a wild offset is an out-of-bounds async copy —
+    # a worker-killing TPU fault, not an exception.  This was the root
+    # cause of every "vmapped Pallas kernel fault" seen on v5e (the
+    # crash depended on whether the OOB read escaped the allocation,
+    # hence the shape/batching flakiness).
+    flat = lambda a, fill=0: jnp.where(sel_valid, a.reshape(-1)[top_idx],
+                                       fill)
     zz = jnp.broadcast_to(
         jnp.arange(1, L - 1, dtype=jnp.int32)[:, None, None], valid.shape
     )
@@ -236,7 +247,7 @@ def detect_blobs(
         y=flat(jnp.broadcast_to(y, valid.shape)),
         size=flat(jnp.broadcast_to(size, valid.shape)),
         contrast=flat(contrast),
-        level=flat(zz),
+        level=flat(zz, 1),
         valid=sel_valid,
         n_total=n_total,
         n_dropped=n_total - n_kept,

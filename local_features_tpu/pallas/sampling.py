@@ -46,6 +46,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -199,6 +200,63 @@ def _aligned_origin(c, align, margin):
     return jnp.maximum(0, o)
 
 
+@functools.lru_cache(maxsize=None)
+def _sampler_core(interpret: bool):
+    """custom_vmap'd flat-grid kernel invocation (params pre-computed).
+
+    The batching rule UNROLLS the vmapped batch dimension into B
+    per-frame kernel calls (identical shapes, one Mosaic compile).  The
+    default vmapped pallas lowering (batch dim prepended to the grid)
+    is the Mosaic crash class seen on real v5e, and a flat B*Kp fold
+    faulted the worker when sharing a program with the windows kernel
+    at B=8 — see pallas/windows.py for the full failure matrix.
+    """
+
+    @custom_vmap
+    def core(level, ox, oy, hw, fparams, canvas):
+        Kp = level.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # level, ox, oy, hw, fparams
+            grid=(Kp // KB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # canvas (stays in HBM)
+            ],
+            out_specs=pl.BlockSpec((max(KB, 8), _NS),
+                                   lambda g, *_: (g * KB // max(KB, 8), 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, KB, WIN_X, WIN_Y), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, KB)),
+            ],
+        )
+        return pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Kp, _NS), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Kp * _NS * WIN_X * WIN_Y,
+                bytes_accessed=Kp * (WIN_X * WIN_Y + _NS) * 4,
+                transcendentals=0,
+            ),
+        )(level, ox, oy, hw, fparams, canvas)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, level, ox, oy, hw, fparams, canvas):
+        B = axis_size
+        level, ox, oy, hw, fparams, canvas = tuple(
+            a if b else jnp.broadcast_to(a, (B,) + a.shape)
+            for a, b in zip((level, ox, oy, hw, fparams, canvas), in_batched)
+        )
+        out = jnp.stack([
+            core(level[b], ox[b], oy[b], hw[b], fparams[b], canvas[b])
+            for b in range(B)
+        ])
+        return out, True
+
+    return core
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sample_patches_pallas(
     canvas: jnp.ndarray,      # [L, Wc, Hc] bf16 transposed canvas
@@ -228,7 +286,10 @@ def sample_patches_pallas(
 
     scale = jnp.maximum(ksize, 1e-6) * psf / _PS
     log2s = jnp.log2(scale)
-    level = jnp.clip(jnp.floor(log2s), 0, L - 1).astype(jnp.int32)
+    # double clamp (float then int) so NaN sizes cannot yield an
+    # out-of-range plane index after the astype
+    level = jnp.clip(jnp.clip(jnp.floor(log2s), 0, L - 1)
+                     .astype(jnp.int32), 0, L - 1)
     rem = jnp.exp2(log2s - level.astype(jnp.float32))
     theta = jnp.deg2rad(kangle_deg)
 
@@ -240,38 +301,18 @@ def sample_patches_pallas(
     mh = heights[level]
     ox = _aligned_origin(px, 16, 48)
     oy = _aligned_origin(py, 128, 64)
+    # belt-and-braces upper clamp (alignment-preserving): degenerate
+    # inputs must never DMA off-canvas — an OOB async copy is a
+    # worker-killing TPU fault, not an exception (see ops/detect.py)
+    ox = jnp.minimum(ox, ((canvas.shape[1] - WIN_X) // 16) * 16)
+    oy = jnp.minimum(oy, ((canvas.shape[2] - WIN_Y) // 128) * 128)
 
     fparams = jnp.stack(
         [px, py, rem, jnp.cos(theta), jnp.sin(theta)], axis=0
     )  # [5, Kp] f32, scalar-prefetched (SMEM)
     hw = jnp.stack([mw, mh], axis=1).reshape(-1)  # [2Kp] interleaved w, h
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # level, ox, oy, hw, fparams
-        grid=(Kp // KB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # canvas (stays in HBM)
-        ],
-        out_specs=pl.BlockSpec((max(KB, 8), _NS),
-                               lambda g, *_: (g * KB // max(KB, 8), 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, KB, WIN_X, WIN_Y), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, KB)),
-        ],
-    )
-
-    out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Kp, _NS), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Kp * _NS * WIN_X * WIN_Y,
-            bytes_accessed=Kp * (WIN_X * WIN_Y + _NS) * 4,
-            transcendentals=0,
-        ),
-    )(level, ox, oy, hw, fparams, canvas)
+    out = _sampler_core(interpret)(level, ox, oy, hw, fparams, canvas)
 
     patches = out[:K].reshape(K, _PS, _PS)
     return jnp.where(kvalid[:, None, None], patches, 0.0)

@@ -14,15 +14,22 @@ of several canvases per item with predicated DMAs (used for the
 per-level decimated plane stacks, whose plane sizes differ by level).
 
 Batching: the pallas_call is wrapped in `jax.custom_batching.custom_vmap`
-whose rule folds the vmapped batch dimension into the PLANE dimension
-(canvases [B, P, Hc, Wc] -> [B*P, Hc, Wc], plane' = b*P + plane) and
-invokes ONE flat-grid kernel.  The default vmap lowering of pallas_call
-(batch dim prepended to the grid) is exactly where Mosaic has faulted on
-real v5e hardware — "TPU backend error (Internal)" at 240x320 B=4 in the
-round-2 stress sweep, and the round-1 B=8 worker crashes — while the
-same kernels at the same shapes pass with a flat grid.  The fold is also
-the better TPU program: one kernel launch, one uninterrupted DMA
-pipeline across all B*F items.
+whose rule UNROLLS the vmapped batch dimension into B separate flat-grid
+kernel calls (one per frame, identical shapes, one Mosaic compile).  Two
+alternatives both fault on real v5e hardware:
+
+- the default vmap lowering of pallas_call (batch dim prepended to the
+  grid): "TPU backend error (Internal)" at 240x320 B=4 in the round-2
+  stress sweep, and the round-1 B=8 worker crashes;
+- a flat FOLD (batch folded into the plane dimension, one B*F-item
+  kernel): passes standalone at every shape, but faults the worker when
+  the resulting 16000-item kernel shares one XLA program with the patch
+  sampler kernel at B=8 (the full front-end), while B=4 (8000 items)
+  is fine.
+
+Per-frame unroll sidesteps both: every kernel invocation has exactly the
+standalone-verified shape, at ~launch-overhead cost (tens of us per
+frame vs a ~12 ms stage).
 """
 
 from __future__ import annotations
@@ -97,15 +104,9 @@ def _single_core(win_h: int, win_w: int, kb: int, interpret: bool):
         B = axis_size
         plane, oy, ox, canvas = _broadcast_unbatched(
             B, (plane, oy, ox, canvas), in_batched)
-        Fp = plane.shape[1]
-        P = canvas.shape[1]
-        b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Fp)
-        out = core(
-            b_idx * P + plane.reshape(-1),
-            oy.reshape(-1), ox.reshape(-1),
-            canvas.reshape((B * P,) + canvas.shape[2:]),
-        )
-        return out.reshape(B, Fp, win_h, win_w), True
+        out = jnp.stack([core(plane[b], oy[b], ox[b], canvas[b])
+                         for b in range(B)])
+        return out, True
 
     return core
 
@@ -127,8 +128,24 @@ def fetch_windows(
     Fp = _round_up(max(F, kb), kb)
     pad = lambda a: jnp.pad(a, (0, Fp - F)) if Fp != F else a
     plane, oy, ox = map(pad, (plane, oy, ox))
+    plane, oy, ox = _clamp_dma(canvas.shape, plane, oy, ox, win_h, win_w)
     out = _single_core(win_h, win_w, kb, interpret)(plane, oy, ox, canvas)
     return out[:F]
+
+
+def _clamp_dma(shape, plane, oy, ox, win_h, win_w):
+    """Belt-and-braces in-bounds clamp (alignment-preserving).
+
+    Valid callers never go out of bounds; degenerate inputs must not
+    either, because an OOB async copy is a worker-killing TPU fault.
+    Upper bounds are rounded DOWN to the DMA alignment so the kernel's
+    `pl.multiple_of` hints stay truthful.
+    """
+    P, Hc, Wc = shape[-3:]
+    plane = jnp.clip(plane, 0, P - 1)
+    oy = jnp.clip(oy, 0, ((Hc - win_h) // 8) * 8)
+    ox = jnp.clip(ox, 0, ((Wc - win_w) // 128) * 128)
+    return plane, oy, ox
 
 
 def _kernel_multi(sel_ref, plane_ref, oy_ref, ox_ref, *rest, kb, win_h,
@@ -193,22 +210,12 @@ def _multi_core(n_canvases: int, win_h: int, win_w: int, kb: int,
         sel, plane, oy, ox = _broadcast_unbatched(
             B, (sel, plane, oy, ox), in_batched[:4])
         canvases = _broadcast_unbatched(B, canvases, in_batched[4:])
-        Fp = plane.shape[1]
-        sel_f = sel.reshape(-1)
-        # plane count of the selected canvas, per item (arithmetic select
-        # over <=4 compares — no gather)
-        np_sel = sum(
-            jnp.where(sel_f == c, jnp.int32(canv.shape[1]), jnp.int32(0))
-            for c, canv in enumerate(canvases)
-        )
-        b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Fp)
-        out = core(
-            sel_f,
-            b_idx * np_sel + plane.reshape(-1),
-            oy.reshape(-1), ox.reshape(-1),
-            *(c.reshape((B * c.shape[1],) + c.shape[2:]) for c in canvases),
-        )
-        return out.reshape(B, Fp, win_h, win_w), True
+        out = jnp.stack([
+            core(sel[b], plane[b], oy[b], ox[b],
+                 *(c[b] for c in canvases))
+            for b in range(B)
+        ])
+        return out, True
 
     return core
 
@@ -231,6 +238,16 @@ def fetch_windows_multi(
     Fp = _round_up(max(F, kb), kb)
     pad = lambda a: jnp.pad(a, (0, Fp - F)) if Fp != F else a
     sel, plane, oy, ox = map(pad, (sel, plane, oy, ox))
+    # per-item bounds of the SELECTED canvas (arithmetic select over
+    # <= 4 compares; see _clamp_dma for why clamping is load-bearing)
+    sel = jnp.clip(sel, 0, len(canvases) - 1)
+    bound = lambda dim: sum(
+        jnp.where(sel == c, jnp.int32(canv.shape[dim]), jnp.int32(0))
+        for c, canv in enumerate(canvases)
+    )
+    plane = jnp.clip(plane, 0, bound(0) - 1)
+    oy = jnp.clip(oy, 0, ((bound(1) - win_h) // 8) * 8)
+    ox = jnp.clip(ox, 0, ((bound(2) - win_w) // 128) * 128)
     core = _multi_core(len(canvases), win_h, win_w, kb, interpret)
     out = core(sel, plane, oy, ox, *canvases)
     return out[:F]

@@ -70,3 +70,43 @@ def test_pallas_sampler_edge_keypoints(test_image, rng):
     )
     d = np.abs(np.asarray(got) - np.asarray(ref))
     assert d.max() < 8e-3, d.max()
+
+
+def test_vmapped_sampler_matches_per_frame(test_image, rng):
+    """The custom_vmap per-frame unroll (B standalone-shaped kernel
+    calls) must reproduce per-frame sampling exactly.  Replaces the
+    vmapped pallas lowering that faulted Mosaic on v5e, and the flat
+    B*Kp fold that faulted alongside the windows kernel at B=8 (see
+    pallas/windows.py docstring)."""
+    import jax
+
+    B, K = 3, 24
+    h, w = test_image.shape
+    imgs = jnp.stack([
+        jnp.asarray(np.clip(
+            test_image + 0.05 * rng.standard_normal((h, w)), 0, 1
+        ).astype(np.float32))
+        for _ in range(B)
+    ])
+    kx = jnp.asarray(rng.uniform(5, w - 5, (B, K)).astype(np.float32))
+    ky = jnp.asarray(rng.uniform(5, h - 5, (B, K)).astype(np.float32))
+    ksize = jnp.asarray(rng.uniform(1.6, 8.0, (B, K)).astype(np.float32))
+    kangle = jnp.asarray(rng.uniform(0, 360, (B, K)).astype(np.float32))
+    kvalid = jnp.ones((B, K), bool)
+
+    def one(im, x, y, s, a, v):
+        coarse = ss.scale_space(im, 4)
+        pyr = patch_pyramid(coarse)
+        canvas = build_canvas(_mips_from_flat_traced(coarse))
+        return sample_patches_pallas(
+            canvas, pyr.widths, pyr.heights, x, y, s, a, v, 24.0,
+            interpret=True)
+
+    def _mips_from_flat_traced(coarse):
+        from local_features_tpu.ops.pyramid import patch_pyramid_mips
+        return patch_pyramid_mips(coarse)
+
+    got = jax.vmap(one)(imgs, kx, ky, ksize, kangle, kvalid)
+    for b in range(B):
+        ref = one(imgs[b], kx[b], ky[b], ksize[b], kangle[b], kvalid[b])
+        np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(ref))
