@@ -9,19 +9,26 @@ scalar gather (4 taps x 1024 samples x K keypoints) which runs at
 Kernel strategy (no scalar gathers anywhere):
 
 - The mip pyramid is stored as one TRANSPOSED, padded, bf16 3D canvas
-  [n_levels, Wc, Hc] (x on sublanes, y on lanes, each mip in the
-  top-left corner).  A keypoint's sampling window is then a single
-  tile-aligned dynamic-slice DMA
-      winT = canvasT[level, x0:x0+112, y0:y0+256].
+  [n_levels * N_PHASE, Wc, Hc] (x on sublanes, y on lanes).  Each mip
+  appears N_PHASE=4 times, y-shifted by PHASE_STEP=32 lanes per copy:
+  for ANY keypoint one of the copies puts the desired window start
+  within 32 lanes of a 128-aligned offset, so the y window shrinks to
+  128 lanes (vs 256 with a single copy, where the 128-lane DMA
+  alignment forces 128 lanes of slack).  A keypoint's sampling window
+  is then a single tile-aligned dynamic-slice DMA
+      winT = canvasT[level*4 + phase, x0:x0+112, y0:y0+128].
+  The 4x HBM cost is ~35 MB/frame at 640x480 — noise next to the VPU
+  time it buys back (the y one-hot build halves).
 - A 32x32 patch at mip level floor(log2(scale)) has residual scale
   rem in [1, 2), so its rotated footprint spans at most
   2 * 16 * sqrt(2) * 2 = 90.6 px: it fits 112 sublanes (16-aligned
-  origin) x 256 lanes (128-aligned origin).
+  origin) x 128 lanes (32-phase-aligned origin; window-local y spans
+  [1.2, 126.8] incl. mirror folds — see _phase_origin).
 - All 1024 samples live LANE-MAJOR ([1, 1024]) so every coordinate op
   runs on full vector registers; bilinear sampling with MirroredRepeat
   borders becomes two one-hot contractions:
-      YohT[256, 1024] = onehot(y0)*(1-fy) + onehot(y1)*fy   (VPU, bf16)
-      S1T  = winT[112, 256] @ YohT                           (MXU, bf16)
+      YohT[128, 1024] = onehot(y0)*(1-fy) + onehot(y1)*fy   (VPU, bf16)
+      S1T  = winT[112, 128] @ YohT                           (MXU, bf16)
       out[1, 1024] = sum(S1T * XohT[112, 1024], axis=0)      (VPU)
   i.e. the gather IS a matmul — the MXU does it at speed of light.
 - Window DMAs are double-buffered across grid steps: program k kicks off
@@ -33,10 +40,15 @@ Precision: the canvas and one-hot weights are bf16 (2^-9 relative
 subtexel precision) — comparable to the 8-bit subtexel precision of the
 GPU texture units the reference relies on.
 
-Mirror correctness: window origins are clamped so that any sample whose
+Mirror correctness: window origins are chosen so that any sample whose
 mirrored coordinate folds back into the mip still lands inside the
-window; the canvas is padded (64 sublanes / 192 lanes) so aligned
-windows never run off the canvas (see build_canvas / _aligned_origin).
+window (mirror reflection preserves distance to the border, so folded
+coordinates stay within the keypoint's footprint interval clamped to
+[0, mh); the 47.5-lane left reach covers the worst single-top-fold
+case at py -> mh by a 0.25-lane margin, and for mh <= 49 the whole mip
+fits in the window).  The canvas is padded (64 sublanes / 240 lanes
+incl. the phase shifts) so aligned windows never run off the canvas
+(see build_canvas / _aligned_origin / _phase_origin).
 """
 
 from __future__ import annotations
@@ -53,7 +65,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as C
 
 WIN_X = 112   # 90.6 px footprint + 16-sublane (bf16 tile) alignment slack
-WIN_Y = 256   # 90.6 px footprint + 128-lane alignment slack
+WIN_Y = 128   # 90.6 px footprint + 32-lane phase-copy alignment slack
+N_PHASE = 4       # y-shifted canvas copies per mip
+PHASE_STEP = 32   # lane shift between copies (4 * 32 = 128 = lane align)
+PADT = 64         # top canvas padding so phase origins never go negative
 _PS = C.PATCH_SIZE  # 32
 _NS = _PS * _PS     # 1024
 # keypoints per grid program (amortizes per-step overhead; env knob for
@@ -66,20 +81,25 @@ def _round_up(v: int, m: int) -> int:
 
 
 def build_canvas(mips: list[jnp.ndarray]) -> jnp.ndarray:
-    """[n_levels, Wc, Hc] bf16 canvas of TRANSPOSED mips (x-major).
+    """[n_levels * N_PHASE, Wc, Hc] bf16 canvas of TRANSPOSED mips
+    (x-major), with N_PHASE y-shifted copies per mip.
 
-    Padded so every clamped, tile-aligned sampling window stays in
-    bounds: Wc >= w0 + 64 (x on sublanes, 16-aligned origins),
-    Hc >= h0 + 192 (y on lanes, 128-aligned origins).
+    Plane l*N_PHASE + k holds mip l at lane offset PADT + k*PHASE_STEP:
+    canvas[l*4+k][x, lane] = mip_l[lane - 64 - 32*k, x].  Padded so
+    every tile-aligned sampling window stays in bounds: Wc >= w0 + 64
+    (x on sublanes, 16-aligned origins), Hc >= h0 + 240 (y on lanes,
+    128-aligned origins picked by _phase_origin).
     """
     h0, w0 = mips[0].shape
     Wc = max(WIN_X, _round_up(w0 + 64, 16))
-    Hc = max(WIN_Y, _round_up(h0 + 192, 128))
+    Hc = _round_up(h0 + PADT + (N_PHASE - 1) * PHASE_STEP + WIN_Y, 128)
     out = []
     for m in mips:
         mh, mw = m.shape
-        out.append(jnp.pad(m.T.astype(jnp.bfloat16),
-                           ((0, Wc - mw), (0, Hc - mh))))
+        mt = m.T.astype(jnp.bfloat16)
+        for k in range(N_PHASE):
+            top = PADT + k * PHASE_STEP
+            out.append(jnp.pad(mt, ((0, Wc - mw), (top, Hc - mh - top))))
     return jnp.stack(out)
 
 
@@ -89,8 +109,8 @@ def _mirror(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(m >= n, 2 * n - 1 - m, m)
 
 
-def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
-            out_ref, win, sem):
+def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
+            canvas_ref, out_ref, win, sem):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
 
@@ -100,7 +120,7 @@ def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
             ox = pl.multiple_of(ox_ref[idx], 16)
             oy = pl.multiple_of(oy_ref[idx], 128)
             pltpu.make_async_copy(
-                canvas_ref.at[level_ref[idx], pl.ds(ox, WIN_X),
+                canvas_ref.at[plane_ref[idx], pl.ds(ox, WIN_X),
                               pl.ds(oy, WIN_Y)],
                 win.at[slot, j],
                 sem.at[slot, j],
@@ -111,7 +131,7 @@ def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
         ox = pl.multiple_of(ox_ref[idx], 16)
         oy = pl.multiple_of(oy_ref[idx], 128)
         pltpu.make_async_copy(
-            canvas_ref.at[level_ref[idx], pl.ds(ox, WIN_X), pl.ds(oy, WIN_Y)],
+            canvas_ref.at[plane_ref[idx], pl.ds(ox, WIN_X), pl.ds(oy, WIN_Y)],
             win.at[slot, j],
             sem.at[slot, j],
         ).wait()
@@ -167,7 +187,7 @@ def _kernel(level_ref, ox_ref, oy_ref, hw_ref, fparams_ref, canvas_ref,
         mw = hw_ref[2 * k]      # mip width
         mh = hw_ref[2 * k + 1]  # mip height
         ox = ox_ref[k]
-        oy = oy_ref[k]
+        oy = oyl_ref[k]         # window origin in MIP y coords (may be <0)
 
         sx = (lx * ct - ly * st) * rem + px
         sy = (lx * st + ly * ct) * rem + py
@@ -200,23 +220,44 @@ def _aligned_origin(c, align, margin):
     return jnp.maximum(0, o)
 
 
+def _phase_origin(py, level):
+    """(plane, oy_dma, oy_loc) for the y window via phase-copy selection.
+
+    Picks the canvas copy k whose PHASE_STEP*k shift puts the desired
+    window start (round(py) - 48 in mip coords) within PHASE_STEP lanes
+    BELOW a 128-aligned lane offset, i.e. py - oy_loc in [47.5, 80.5).
+    Left reach 47.5 >= 46.25 footprint (16*sqrt(2)*2*rem + floor tap);
+    right reach 128 - 80.5 - 0.5 + 33.25 ... max local tap
+    (py - oy_loc) + 46.25 < 126.8 < 128.  Mirror folds stay in range
+    (see module docstring).
+    """
+    yi = jnp.round(py).astype(jnp.int32)
+    basey = yi + (PADT - 48)       # desired start, copy-0 lane coords
+    k = jnp.mod(-(basey // PHASE_STEP), N_PHASE)
+    pyc = basey + PHASE_STEP * k   # desired start, copy-k lane coords
+    m = jnp.mod(pyc, 128)          # in [0, PHASE_STEP) by choice of k
+    oy = pyc - m                   # 128-aligned DMA lane offset, >= 0
+    oy_loc = oy - PHASE_STEP * k - PADT  # same origin in mip y coords
+    plane = level * N_PHASE + k
+    return plane, oy, oy_loc
+
+
 @functools.lru_cache(maxsize=None)
 def _sampler_core(interpret: bool):
     """custom_vmap'd flat-grid kernel invocation (params pre-computed).
 
     The batching rule UNROLLS the vmapped batch dimension into B
-    per-frame kernel calls (identical shapes, one Mosaic compile).  The
+    per-frame kernel calls (identical shapes, one Mosaic compile) — the
     default vmapped pallas lowering (batch dim prepended to the grid)
-    is the Mosaic crash class seen on real v5e, and a flat B*Kp fold
-    faulted the worker when sharing a program with the windows kernel
-    at B=8 — see pallas/windows.py for the full failure matrix.
+    faulted Mosaic on real v5e; see pallas/windows.py for the failure
+    matrix.
     """
 
     @custom_vmap
-    def core(level, ox, oy, hw, fparams, canvas):
-        Kp = level.shape[0]
+    def core(plane, ox, oy, oyl, hw, fparams, canvas):
+        Kp = plane.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,  # level, ox, oy, hw, fparams
+            num_scalar_prefetch=6,  # plane, ox, oy, oyl, hw, fparams
             grid=(Kp // KB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # canvas (stays in HBM)
@@ -239,17 +280,20 @@ def _sampler_core(interpret: bool):
                 bytes_accessed=Kp * (WIN_X * WIN_Y + _NS) * 4,
                 transcendentals=0,
             ),
-        )(level, ox, oy, hw, fparams, canvas)
+        )(plane, ox, oy, oyl, hw, fparams, canvas)
 
     @core.def_vmap
-    def _rule(axis_size, in_batched, level, ox, oy, hw, fparams, canvas):
+    def _rule(axis_size, in_batched, plane, ox, oy, oyl, hw, fparams,
+              canvas):
         B = axis_size
-        level, ox, oy, hw, fparams, canvas = tuple(
+        plane, ox, oy, oyl, hw, fparams, canvas = tuple(
             a if b else jnp.broadcast_to(a, (B,) + a.shape)
-            for a, b in zip((level, ox, oy, hw, fparams, canvas), in_batched)
+            for a, b in zip((plane, ox, oy, oyl, hw, fparams, canvas),
+                            in_batched)
         )
         out = jnp.stack([
-            core(level[b], ox[b], oy[b], hw[b], fparams[b], canvas[b])
+            core(plane[b], ox[b], oy[b], oyl[b], hw[b], fparams[b],
+                 canvas[b])
             for b in range(B)
         ])
         return out, True
@@ -259,7 +303,7 @@ def _sampler_core(interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sample_patches_pallas(
-    canvas: jnp.ndarray,      # [L, Wc, Hc] bf16 transposed canvas
+    canvas: jnp.ndarray,      # [L*N_PHASE, Wc, Hc] bf16 (build_canvas)
     widths: jnp.ndarray,      # [L] i32 true mip widths
     heights: jnp.ndarray,     # [L] i32
     kx: jnp.ndarray,          # [K]
@@ -276,7 +320,7 @@ def sample_patches_pallas(
             f"canvas must be bfloat16 (see build_canvas), got {canvas.dtype}")
     K = kx.shape[0]
     Kp = _round_up(max(K, 8), max(KB, 8))
-    L = canvas.shape[0]
+    L = canvas.shape[0] // N_PHASE   # true mip count
     psf = jnp.asarray(patch_scale_factor, jnp.float32)
 
     def pad(a):
@@ -300,19 +344,20 @@ def sample_patches_pallas(
     mw = widths[level]
     mh = heights[level]
     ox = _aligned_origin(px, 16, 48)
-    oy = _aligned_origin(py, 128, 64)
-    # belt-and-braces upper clamp (alignment-preserving): degenerate
-    # inputs must never DMA off-canvas — an OOB async copy is a
-    # worker-killing TPU fault, not an exception (see ops/detect.py)
-    ox = jnp.minimum(ox, ((canvas.shape[1] - WIN_X) // 16) * 16)
-    oy = jnp.minimum(oy, ((canvas.shape[2] - WIN_Y) // 128) * 128)
+    plane, oy, oyl = _phase_origin(py, level)
+    # belt-and-braces: valid keypoints are always in bounds (see
+    # _phase_origin); clamp so degenerate inputs can never DMA
+    # off-canvas (an OOB async copy is a worker-killing fault, not an
+    # exception)
+    ox = jnp.minimum(ox, canvas.shape[1] - WIN_X)
+    oy = jnp.clip(oy, 0, canvas.shape[2] - WIN_Y)
 
     fparams = jnp.stack(
         [px, py, rem, jnp.cos(theta), jnp.sin(theta)], axis=0
     )  # [5, Kp] f32, scalar-prefetched (SMEM)
     hw = jnp.stack([mw, mh], axis=1).reshape(-1)  # [2Kp] interleaved w, h
 
-    out = _sampler_core(interpret)(level, ox, oy, hw, fparams, canvas)
+    out = _sampler_core(interpret)(plane, ox, oy, oyl, hw, fparams, canvas)
 
     patches = out[:K].reshape(K, _PS, _PS)
     return jnp.where(kvalid[:, None, None], patches, 0.0)

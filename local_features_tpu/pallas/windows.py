@@ -150,32 +150,55 @@ def _clamp_dma(shape, plane, oy, ox, win_h, win_w):
 
 def _kernel_multi(sel_ref, plane_ref, oy_ref, ox_ref, *rest, kb, win_h,
                   win_w, n_canvases):
+    """DMA fetch into a double-buffered VMEM scratch, pipelined one
+    chunk ahead: program g starts chunk g+1's copies before waiting on
+    chunk g's, so the per-DMA latency (~the whole cost of this kernel;
+    the transfers themselves are tiny) overlaps with the next chunk's
+    issue instead of serializing at every program boundary.  The waited
+    windows are then a plain VMEM->VMEM block copy to the output.
+    (DMA-ing canvas->HBM output directly would skip that copy, but
+    Mosaic faults at runtime on HBM->HBM copies from ANY-space outputs
+    — measured on v5e, 480x640 B=8.)
+    """
     canvases = rest[:n_canvases]
     out_ref = rest[n_canvases]
-    sem = rest[n_canvases + 1]
+    win = rest[n_canvases + 1]
+    sem = rest[n_canvases + 2]
     g = pl.program_id(0)
+    n_g = pl.num_programs(0)
 
-    def dma(c, canvas_ref, j):
-        idx = g * kb + j
+    def dma(canvas_ref, prog, slot, j):
+        idx = prog * kb + j
         oy = pl.multiple_of(oy_ref[idx], 8)
         ox = pl.multiple_of(ox_ref[idx], 128)
         return pltpu.make_async_copy(
             canvas_ref.at[plane_ref[idx], pl.ds(oy, win_h),
                           pl.ds(ox, win_w)],
-            out_ref.at[j],
-            sem.at[j],
+            win.at[slot, j],
+            sem.at[slot, j],
         )
+
+    def start_chunk(prog, slot):
+        for j in range(kb):
+            for c, canvas_ref in enumerate(canvases):
+                @pl.when(sel_ref[prog * kb + j] == c)
+                def _(canvas_ref=canvas_ref, j=j):
+                    dma(canvas_ref, prog, slot, j).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_chunk(0, 0)
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        start_chunk(g + 1, (g + 1) % 2)
 
     for j in range(kb):
         for c, canvas_ref in enumerate(canvases):
             @pl.when(sel_ref[g * kb + j] == c)
-            def _(c=c, canvas_ref=canvas_ref, j=j):
-                dma(c, canvas_ref, j).start()
-    for j in range(kb):
-        for c, canvas_ref in enumerate(canvases):
-            @pl.when(sel_ref[g * kb + j] == c)
-            def _(c=c, canvas_ref=canvas_ref, j=j):
-                dma(c, canvas_ref, j).wait()
+            def _(canvas_ref=canvas_ref, j=j):
+                dma(canvas_ref, g, g % 2, j).wait()
+    out_ref[...] = win[g % 2]
 
 
 @functools.lru_cache(maxsize=None)
@@ -193,7 +216,10 @@ def _multi_core(n_canvases: int, win_h: int, win_w: int, kb: int,
             out_specs=pl.BlockSpec((kb, win_h, win_w),
                                    lambda g, *_: (g, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((kb,))],
+            scratch_shapes=[
+                pltpu.VMEM((2, kb, win_h, win_w), canvases[0].dtype),
+                pltpu.SemaphoreType.DMA((2, kb)),
+            ],
         )
         return pl.pallas_call(
             functools.partial(_kernel_multi, kb=kb, win_h=win_h,
