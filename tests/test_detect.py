@@ -196,3 +196,29 @@ def test_detect_drop_counter_under_plateau():
     n_dropped = int(blobs.n_dropped)
     assert n_dropped == n_total - n_kept
     assert n_kept <= 512
+
+
+def test_invalid_slots_are_sanitized(test_image, rng):
+    """Invalid blob slots must be zeroed, never left with the dense
+    refine's garbage (near-singular Hessian solves yield offsets ~1e30,
+    size=inf).  Downstream window-DMA offsets are computed for ALL
+    slots, and a garbage slot means an out-of-bounds async copy — a
+    worker-killing TPU fault (the root cause of every round-1/round-2
+    'vmapped Pallas kernel fault')."""
+    noisy = np.clip(
+        test_image + 0.12 * rng.standard_normal(test_image.shape), 0, 1
+    ).astype(np.float32)
+    fine = jss.fine_volume(jss.scale_space(jnp.asarray(noisy), 4))
+    b = detect_blobs(fine, max_blobs=2000)
+    iv = ~np.asarray(b.valid)
+    assert iv.any()
+    for f in ("x", "y", "size", "contrast"):
+        a = np.asarray(getattr(b, f))
+        assert np.isfinite(a).all(), f
+        assert (a[iv] == 0).all(), f
+    lvl = np.asarray(b.level)
+    assert (lvl[iv] == 1).all()
+    H, W = noisy.shape
+    v = ~iv
+    assert (np.asarray(b.x)[v] >= 0).all() and (np.asarray(b.x)[v] < W).all()
+    assert (np.asarray(b.y)[v] >= 0).all() and (np.asarray(b.y)[v] < H).all()
