@@ -75,13 +75,17 @@ def main():
             yd = jnp.right_shift(yi, lv)
             xd = jnp.right_shift(xi, lv)
             oy = jnp.maximum(((yd - ori._R) // 8) * 8, 0)
-            ox = jnp.maximum(((xd - ori._R) // 128) * 128, 0)
+            basex = xd - ori._R
+            k = jnp.mod(-(basex // ori._XSTEP), ori._XPHASE)
+            shifted = basex + ori._XSTEP * k
+            ox = (shifted // 128) * 128
+            plane = k * sstep * sstep + plane
             win = fetch_windows_multi(canvases, lv, plane, oy, ox,
                                       win_h=ori._OWIN_H, win_w=ori._OWIN_W)
             if upto == "owin":
                 return jnp.sum(win)
             y_local = yd - ori._R - oy
-            x_local = xd - ori._R - ox
+            x_local = shifted - ox
             rows = jnp.arange(ori._OWIN_H, dtype=jnp.int32)
             cols = jnp.arange(ori._OWIN_W, dtype=jnp.int32)
             r15 = jnp.arange(ori._PS, dtype=jnp.int32)
