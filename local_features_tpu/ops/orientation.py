@@ -91,9 +91,15 @@ def _decimated_canvases(coarse):
     return tuple(out)
 
 
-def _sample_ori_patches_pallas(coarse, xi, yi, level, interpret=False):
+def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
+                               interpret=False):
     """[F, 15, 15] neighborhoods via phase-decimated planes + Pallas
     window DMA + batched one-hot extraction matmuls.
+
+    Invalid slots pass the sel=-1 sentinel so the kernel skips their
+    DMAs entirely (the fetch is per-descriptor latency-bound, and at
+    capacity padding typically >half the slots are invalid); their
+    window contents are arbitrary and masked downstream via bvalid.
 
     Levels >= _DECIM_LEVELS (blob radius >= ~19 px — rare) fall back to
     the scalar gather on up to _BIG_CAP compacted slots; big blobs past
@@ -120,8 +126,9 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, interpret=False):
     shifted = basex + _XSTEP * k
     ox = (shifted // 128) * 128
     plane = k * sstep * sstep + plane
+    sel = jnp.where(bvalid, lv, -1)
 
-    win = fetch_windows_multi(canvases, lv, plane, oy, ox, win_h=_OWIN_H,
+    win = fetch_windows_multi(canvases, sel, plane, oy, ox, win_h=_OWIN_H,
                               win_w=_OWIN_W,
                               interpret=interpret)        # [F, 24, 128]
 
@@ -191,10 +198,14 @@ def orientation_histograms(
     valid_px = vx[:, None, :] & vy[:, :, None]            # [F, 15, 15]
 
     if use_pallas:
-        patch = _sample_ori_patches_pallas(coarse, xi, yi, level, interpret)
+        patch = _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
+                                           interpret)
     else:
         patch = _gather_patches(coarse, xi, yi, level)
-    patch = jnp.where(valid_px, patch, 0.0)
+    # mask BEFORE the gradient math: out-of-image pixels become the
+    # reference's zero fill, and skipped-DMA windows (invalid slots)
+    # can hold arbitrary scratch values incl. NaN
+    patch = jnp.where(valid_px & bvalid[:, None, None], patch, 0.0)
 
     # central-difference gradients on the interior 13x13
     gx = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]

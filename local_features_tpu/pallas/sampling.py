@@ -132,6 +132,23 @@ def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
     def start_dmas(prog, slot):
         for j in range(KB):
             idx = prog * KB + j
+
+            @pl.when(plane_ref[idx] >= 0)  # plane=-1: invalid slot, skip
+            def _(idx=idx, j=j):
+                ox = pl.multiple_of(ox_ref[idx], 16)
+                oy = pl.multiple_of(oy_ref[idx], 128)
+                pltpu.make_async_copy(
+                    canvas_ref.at[plane_ref[idx], pl.ds(ox, WIN_X),
+                                  pl.ds(oy, WIN_Y)],
+                    win.at[slot, j],
+                    sem.at[slot, j],
+                ).start()
+
+    def wait_dma(prog, slot, j):
+        idx = prog * KB + j
+
+        @pl.when(plane_ref[idx] >= 0)
+        def _():
             ox = pl.multiple_of(ox_ref[idx], 16)
             oy = pl.multiple_of(oy_ref[idx], 128)
             pltpu.make_async_copy(
@@ -139,17 +156,7 @@ def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
                               pl.ds(oy, WIN_Y)],
                 win.at[slot, j],
                 sem.at[slot, j],
-            ).start()
-
-    def wait_dma(prog, slot, j):
-        idx = prog * KB + j
-        ox = pl.multiple_of(ox_ref[idx], 16)
-        oy = pl.multiple_of(oy_ref[idx], 128)
-        pltpu.make_async_copy(
-            canvas_ref.at[plane_ref[idx], pl.ds(ox, WIN_X), pl.ds(oy, WIN_Y)],
-            win.at[slot, j],
-            sem.at[slot, j],
-        ).wait()
+            ).wait()
 
     # warm-up: program 0 starts its own DMAs
     @pl.when(g == 0)
@@ -189,8 +196,7 @@ def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
         w = jnp.maximum(1.0 - jnp.abs(rows - t), 0.0)
         return w.astype(jnp.bfloat16)
 
-    for j in range(KB):
-        k = g * KB + j
+    def body(j, k):
         px = fparams_ref[0, k]
         py = fparams_ref[1, k]
         rem = fparams_ref[2, k]
@@ -223,6 +229,18 @@ def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
                       preferred_element_type=jnp.float32)  # [112, 1024]
         row = (g % max(8 // KB, 1)) * KB + j
         out_ref[row, :] = jnp.sum(s1t * xoht.astype(jnp.float32), axis=0)
+
+    for j in range(KB):
+        k = g * KB + j
+
+        # plane=-1 marks an invalid/padding slot: skip its DMA wait AND
+        # its whole tent/matmul chain (slots are valid-first compacted,
+        # so typically >half the capacity is skipped).  Its output row
+        # stays unwritten (arbitrary); sample_patches_pallas masks by
+        # kvalid.
+        @pl.when(plane_ref[k] >= 0)
+        def _(j=j, k=k):
+            body(j, k)
 
 
 def _aligned_origin(c, align, margin):
@@ -357,6 +375,10 @@ def sample_patches_pallas(
     mh = heights[level]
     ox = _aligned_origin(px, 16, 48)
     plane, oy, oyl = _phase_origin(py, level)
+    # skip sentinel: invalid/padding slots issue no DMA and run no
+    # tent/matmul chain in the kernel (their output rows are arbitrary
+    # and masked by kvalid below)
+    plane = jnp.where(pad(kvalid), plane, -1)
     # belt-and-braces: valid keypoints are always in bounds (see
     # _phase_origin); clamp so degenerate inputs can never DMA
     # off-canvas (an OOB async copy is a worker-killing fault, not an

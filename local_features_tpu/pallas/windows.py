@@ -259,21 +259,30 @@ def fetch_windows_multi(
     kb: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[F, win_h, win_w] windows canvases[sel[i]][plane[i], oy[i]:, ox[i]:]."""
+    """[F, win_h, win_w] windows canvases[sel[i]][plane[i], oy[i]:, ox[i]:].
+
+    sel[i] = -1 is a skip sentinel: no DMA is issued for that item and
+    its output window is arbitrary (callers mask invalid slots anyway).
+    The fetch is per-descriptor latency-bound, so skipping the
+    capacity-padding slots is a large win.
+    """
     F = plane.shape[0]
     Fp = _round_up(max(F, kb), kb)
-    pad = lambda a: jnp.pad(a, (0, Fp - F)) if Fp != F else a
-    sel, plane, oy, ox = map(pad, (sel, plane, oy, ox))
+    if Fp != F:
+        sel = jnp.pad(sel, (0, Fp - F), constant_values=-1)  # skip pads
+        plane, oy, ox = (jnp.pad(a, (0, Fp - F)) for a in (plane, oy, ox))
     # per-item bounds of the SELECTED canvas (arithmetic select over
-    # <= 4 compares; see _clamp_dma for why clamping is load-bearing)
-    sel = jnp.clip(sel, 0, len(canvases) - 1)
+    # <= 4 compares; see _clamp_dma for why clamping is load-bearing).
+    # Sentinel items get bound 0; their clamped values are unused (the
+    # kernel's sel==c predicates never fire for them).
+    sel = jnp.clip(sel, -1, len(canvases) - 1)
     bound = lambda dim: sum(
         jnp.where(sel == c, jnp.int32(canv.shape[dim]), jnp.int32(0))
         for c, canv in enumerate(canvases)
     )
-    plane = jnp.clip(plane, 0, bound(0) - 1)
-    oy = jnp.clip(oy, 0, ((bound(1) - win_h) // 8) * 8)
-    ox = jnp.clip(ox, 0, ((bound(2) - win_w) // 128) * 128)
+    plane = jnp.clip(plane, 0, jnp.maximum(bound(0) - 1, 0))
+    oy = jnp.clip(oy, 0, jnp.maximum(((bound(1) - win_h) // 8) * 8, 0))
+    ox = jnp.clip(ox, 0, jnp.maximum(((bound(2) - win_w) // 128) * 128, 0))
     core = _multi_core(len(canvases), win_h, win_w, kb, interpret)
     out = core(sel, plane, oy, ox, *canvases)
     return out[:F]
