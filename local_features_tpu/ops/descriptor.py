@@ -125,6 +125,32 @@ def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return mag, ang
 
 
+def _patches_mag_cos_sin(patches: jnp.ndarray):
+    """(mag, cos(ang), sin(ang)) for ang = -atan2(gy, gx), without any
+    transcendental: cos = gx/r, sin = -gy/r, r = sqrt(gx^2 + gy^2).
+    Zero gradient keeps the atan2(0, 0) = 0 convention: (cos, sin) =
+    (1, 0).  Bitwise-near patches_mag_angle -> cos/sin (diff ~1 ulp)."""
+    import jax
+
+    p = _clip_conv_5tap(patches, C.PATCH_BLUR_KERNEL)
+    n = C.PATCH_SIZE
+    pads = [(0, 0)] * (p.ndim - 2)
+    pe = jnp.pad(p, pads + [(1, 1), (1, 1)], mode="edge")
+    sl = lambda a, o, ax: jax.lax.slice_in_dim(a, o, o + n, axis=ax)
+    gx = (sl(sl(pe, 1, p.ndim - 2), 0, p.ndim - 1)
+          - sl(sl(pe, 1, p.ndim - 2), 2, p.ndim - 1))
+    gy = (sl(sl(pe, 2, p.ndim - 2), 1, p.ndim - 1)
+          - sl(sl(pe, 0, p.ndim - 2), 1, p.ndim - 1))
+    eps = 1e-8
+    q = gx * gx + gy * gy
+    mag = jnp.sqrt(jnp.sqrt(q + eps))
+    inv = jax.lax.rsqrt(jnp.maximum(q, 1e-30))
+    zero = q == 0.0
+    c1 = jnp.where(zero, 1.0, gx * inv)
+    s1 = jnp.where(zero, 0.0, -gy * inv)
+    return mag, c1, s1
+
+
 def _vm_stack(c1, s1, m, coef):
     """[K, 7, N] von Mises components from cos/sin of the base angle.
 
@@ -156,15 +182,18 @@ def raw_mkd_descriptors(patches: jnp.ndarray, fast: bool = False) -> jnp.ndarray
     the pooled sums, well inside matching tolerance; the reference's own
     GPU path uses fast-math GLSL)."""
     K = patches.shape[0]
-    mag, ang = patches_mag_angle(patches)
-
-    # One cos+sin evaluation serves BOTH lifts: the polar lift's pixel
-    # angle offset (ang + ga) is applied with the angle-addition formula
-    # against precomputed cos/sin tables of ga, and higher harmonics use
-    # recurrences (_vm_stack) — 2 transcendentals total instead of 12.
-    a = ang.reshape(K, -1)
+    mag, c1, s1 = _patches_mag_cos_sin(patches)
     m = mag.reshape(K, -1)
-    c1, s1 = jnp.cos(a), jnp.sin(a)
+    c1 = c1.reshape(K, -1)
+    s1 = s1.reshape(K, -1)
+
+    # ZERO transcendentals for the angle: cos(-atan2(gy, gx)) = gx/r and
+    # sin(-atan2(gy, gx)) = -gy/r (r = |grad|), so the base cos/sin come
+    # straight from the gradients with one rsqrt.  The polar lift's
+    # pixel angle offset (ang + ga) is applied with the angle-addition
+    # formula against precomputed cos/sin tables of ga, and higher
+    # harmonics use recurrences (_vm_stack) — the reference evaluates 12
+    # transcendentals per pixel for the same lift (embedding.glsl:44-54).
     ga = C.gradient_angle_table().reshape(-1)
     cg = jnp.asarray(np.cos(ga))[None, :]
     sg = jnp.asarray(np.sin(ga))[None, :]
