@@ -51,6 +51,43 @@ def _write_synthetic_pgms(out_dir: str, n: int, h: int, w: int) -> list[str]:
     return paths
 
 
+def _render_overlay(out_dir: Path, frame_idx: int, gray: np.ndarray,
+                    kx, ky, ksize, kvalid,
+                    match_idx=None, match_ok=None,
+                    snap_xy=None) -> None:
+    """One frame of the live view: green circles per keypoint; when a
+    snapshot is active, amber lines from each matched live keypoint to the
+    snapshot keypoint's position (webcam/src/main.rs:261-282 draws the same
+    overlay into the egui canvas)."""
+    from PIL import Image, ImageDraw
+
+    rgb = np.repeat((np.clip(gray, 0.0, 1.0) * 255.0)
+                    .astype(np.uint8)[..., None], 3, axis=-1)
+    im = Image.fromarray(rgb)
+    draw = ImageDraw.Draw(im)
+    for k in np.flatnonzero(kvalid):
+        r = max(float(ksize[k]), 2.0)
+        draw.ellipse([kx[k] - r, ky[k] - r, kx[k] + r, ky[k] + r],
+                     outline=(90, 220, 90))
+    if match_ok is not None and snap_xy is not None:
+        sx, sy = snap_xy
+        for k in np.flatnonzero(match_ok & kvalid):
+            j = match_idx[k]
+            draw.line([kx[k], ky[k], sx[j], sy[j]], fill=(250, 180, 40),
+                      width=1)
+    im.save(out_dir / f"frame{frame_idx:05d}.png")
+
+
+def _write_filmstrip(out_dir: Path, n: int) -> None:
+    """index.html filmstrip: the headless stand-in for the egui window."""
+    rows = "\n".join(
+        f'<img src="frame{i:05d}.png" loading="lazy">' for i in range(n))
+    (out_dir / "index.html").write_text(
+        "<!doctype html><title>stream_features overlay</title>"
+        "<style>body{background:#111;margin:0} "
+        "img{display:block;margin:4px auto}</style>\n" + rows + "\n")
+
+
 def main() -> int:
     apply_platform_env()  # LF_PLATFORM=cpu forces CPU
     ap = argparse.ArgumentParser()
@@ -66,6 +103,13 @@ def main() -> int:
                     "match every later frame against its descriptor index "
                     "(the reference webcam demo's snapshot workflow) "
                     "instead of consecutive-frame matching")
+    ap.add_argument("--overlay", default=None, metavar="DIR",
+                    help="render the demo's live view: write each frame as "
+                    "a PNG with keypoint circles and, once a --snapshot is "
+                    "active, match lines to the snapshot keypoints "
+                    "(the headless analog of the reference webcam UI's "
+                    "overlay, webcam/src/main.rs:261-282), plus an "
+                    "index.html filmstrip viewer")
     args = ap.parse_args()
 
     tmp = None
@@ -108,14 +152,22 @@ def main() -> int:
                                   n_threads=4, queue_cap=2 * B) \
         if native.available() else iter([])
 
+    overlay_dir = None
+    if args.overlay:
+        overlay_dir = Path(args.overlay)
+        overlay_dir.mkdir(parents=True, exist_ok=True)
+
     buf, n_frames, t0 = [], 0, time.perf_counter()
     first = True
     snap_index: DescriptorIndex | None = None
+    snap_xy = None
+    n_rendered = 0
     for frame in loader:
         buf.append(frame)
         if len(buf) < B:
             continue
-        imgs = jnp.asarray(np.stack(buf))
+        imgs_np = np.stack(buf)
+        imgs = jnp.asarray(imgs_np)
         buf = []
         res, m, prev_desc, prev_valid = step(imgs, prev_desc, prev_valid)
         nk = np.asarray(res.n_keypoints)
@@ -126,11 +178,15 @@ def main() -> int:
         if args.snapshot is not None and snap_index is None \
                 and n_frames + B > args.snapshot:
             i = max(0, args.snapshot - n_frames)
+            keep = np.asarray(res.valid[i])
             snap_index = DescriptorIndex(ratio=0.75)
-            snap_index.add(np.asarray(res.descriptors[i])
-                           [np.asarray(res.valid[i])])
+            snap_index.add(np.asarray(res.descriptors[i])[keep])
+            # bank row j <-> snapshot keypoint position (for the overlay
+            # lines; main.rs keeps the snapshot keypoints alongside usearch)
+            snap_xy = (np.asarray(res.x[i])[keep], np.asarray(res.y[i])[keep])
             print(f"snapshot @ frame {n_frames + i}: indexed "
                   f"{len(snap_index)} descriptors")
+        qm = None
         if snap_index is not None:
             # batched 2-NN query against the persistent snapshot bank
             # (webcam demo's per-frame loop, main.rs:261-282)
@@ -142,12 +198,31 @@ def main() -> int:
         else:
             nm = np.asarray(m.mask).sum(axis=1)
             tag = "matches"
+        if overlay_dir is not None:
+            kx = np.asarray(res.x)
+            ky = np.asarray(res.y)
+            ks = np.asarray(res.size)
+            kv = np.asarray(res.valid)
+            qi = np.asarray(qm.indices).reshape(B, -1) if qm else None
+            qok = np.asarray(qm.mask).reshape(B, -1) if qm else None
+            for b in range(B):
+                _render_overlay(
+                    overlay_dir, n_frames + b, imgs_np[b],
+                    kx[b], ky[b], ks[b], kv[b],
+                    match_idx=qi[b] if qi is not None else None,
+                    match_ok=qok[b] if qok is not None else None,
+                    snap_xy=snap_xy)
+                n_rendered += 1
         n_frames += B
         print(f"batch: keypoints {nk.tolist()} {tag} {nm.tolist()}")
     dt = time.perf_counter() - t0
     if n_frames:
+        note = " (incl. overlay rendering)" if overlay_dir else ""
         print(f"{n_frames} frames in {dt:.2f}s = {n_frames / dt:.1f} fps "
-              "(steady state)")
+              f"(steady state){note}")
+    if overlay_dir is not None and n_rendered:
+        _write_filmstrip(overlay_dir, n_rendered)
+        print(f"overlay: {n_rendered} frames + index.html in {overlay_dir}/")
     if tmp:
         tmp.cleanup()
     return 0
