@@ -16,6 +16,8 @@ TPU-first redesign of the reference's extract kernels:
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -151,20 +153,24 @@ def _patches_mag_cos_sin(patches: jnp.ndarray):
     return mag, c1, s1
 
 
-def _vm_stack(c1, s1, m, coef):
-    """[K, 7, N] von Mises components from cos/sin of the base angle.
+def _vm_stack(c1, s1, m, coef, axis: int = 1):
+    """Von Mises components from cos/sin of the base angle, stacked on
+    `axis` (1 -> [K, 7, N], 0 -> [7, K, N]).
 
     Higher harmonics come from Chebyshev-style recurrences
     (cos2 = 2c^2-1, sin2 = 2sc, cos3 = 2*cos2*c - c, sin3 = 2*cos2*s + s)
     instead of extra transcendental evaluations."""
-    c2 = 2.0 * c1 * c1 - 1.0
-    s2 = 2.0 * s1 * c1
-    c3 = 2.0 * c2 * c1 - c1
-    s3 = 2.0 * c2 * s1 + s1
-    comps = [jnp.full_like(c1, float(coef[0])),
-             float(coef[1]) * c1, float(coef[2]) * c2, float(coef[3]) * c3,
-             float(coef[1]) * s1, float(coef[2]) * s2, float(coef[3]) * s3]
-    return jnp.stack(comps, axis=1) * m[:, None, :]
+    dt = c1.dtype
+    cf = [jnp.asarray(float(c), dt) for c in coef]
+    one = jnp.asarray(1.0, dt)
+    two = jnp.asarray(2.0, dt)
+    c2 = two * c1 * c1 - one
+    s2 = two * s1 * c1
+    c3 = two * c2 * c1 - c1
+    s3 = two * c2 * s1 + s1
+    comps = [cf[0] * m, cf[1] * c1 * m, cf[2] * c2 * m, cf[3] * c3 * m,
+             cf[1] * s1 * m, cf[2] * s2 * m, cf[3] * s3 * m]
+    return jnp.stack(comps, axis=axis)
 
 
 def _von_mises_lift(ang: jnp.ndarray, mag: jnp.ndarray) -> jnp.ndarray:
@@ -175,12 +181,58 @@ def _von_mises_lift(ang: jnp.ndarray, mag: jnp.ndarray) -> jnp.ndarray:
     return _vm_stack(jnp.cos(a), jnp.sin(a), m, C.VM_FOURIER_N3_K8)
 
 
+@functools.lru_cache(maxsize=None)
+def _polar_planes_rotated():
+    """[7, 1024, 50] constant: polar spatial planes pre-modulated by the
+    per-pixel gradient angle's harmonics.
+
+    The polar embedding pools the von-Mises lift of the ROTATED angle
+    phi = theta + ga (embedding_polar.glsl adds the precomputed pixel
+    angle).  Angle addition moves that rotation off the per-keypoint
+    tensor and into the constant planes:
+
+      cos(i*phi) = cos(i*theta) cos(i*ga) - sin(i*theta) sin(i*ga)
+      sin(i*phi) = sin(i*theta) cos(i*ga) + cos(i*theta) sin(i*ga)
+
+    so pooled row c_i = L[c_i] @ (plane * cos(i*ga)) - L[s_i] @
+    (plane * sin(i*ga)) (and the s_i analog), where L is the same
+    UNROTATED lift the cartesian embedding uses.  Block j of this
+    constant holds [plane * cos(h(j)*ga), plane * sin(h(j)*ga)] for
+    lift row j's harmonic h(j); _combine_polar does the cross-row
+    add/sub.  One lift tensor total — the rotated copy never exists.
+    """
+    ga = C.gradient_angle_table().reshape(-1)                # [1024]
+    planes = C.polar_embedding_planes().reshape(25, -1).T    # [1024, 25]
+    harm = [0, 1, 2, 3, 1, 2, 3]                             # h(j) per row
+    out = np.stack([
+        np.concatenate([planes * np.cos(h * ga)[:, None],
+                        planes * np.sin(h * ga)[:, None]], axis=1)
+        for h in harm
+    ])                                                       # [7, 1024, 50]
+    return out.astype(np.float32)
+
+
+def _combine_polar(pooled: jnp.ndarray) -> jnp.ndarray:
+    """[K, 7, 50] per-row pooled (A=cos-, B=sin-modulated halves) ->
+    [K, 175] polar part, rows ordered [const, c1, c2, c3, s1, s2, s3]
+    like the direct rotated-lift pooling."""
+    A = pooled[:, :, :25]
+    Bm = pooled[:, :, 25:]
+    rows = [A[:, 0]]
+    rows += [A[:, i] - Bm[:, 3 + i] for i in (1, 2, 3)]      # c_i rows
+    rows += [A[:, 3 + i] + Bm[:, i] for i in (1, 2, 3)]      # s_i rows
+    return jnp.concatenate(rows, axis=-1)
+
+
 def raw_mkd_descriptors(patches: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     """[K, 238] raw MKD descriptors from [K, 32, 32] patches.
 
     fast=True runs the pooling matmuls in bf16 (~0.3% relative error in
     the pooled sums, well inside matching tolerance; the reference's own
-    GPU path uses fast-math GLSL)."""
+    GPU path uses fast-math GLSL) and builds the lift directly in bf16
+    with the rotation folded into the constant planes
+    (_polar_planes_rotated) — the exact path materializes both lifts in
+    f32 like the reference's two embedding dispatches."""
     K = patches.shape[0]
     mag, c1, s1 = _patches_mag_cos_sin(patches)
     m = mag.reshape(K, -1)
@@ -191,32 +243,45 @@ def raw_mkd_descriptors(patches: jnp.ndarray, fast: bool = False) -> jnp.ndarray
     # sin(-atan2(gy, gx)) = -gy/r (r = |grad|), so the base cos/sin come
     # straight from the gradients with one rsqrt.  The polar lift's
     # pixel angle offset (ang + ga) is applied with the angle-addition
-    # formula against precomputed cos/sin tables of ga, and higher
-    # harmonics use recurrences (_vm_stack) — the reference evaluates 12
-    # transcendentals per pixel for the same lift (embedding.glsl:44-54).
-    ga = C.gradient_angle_table().reshape(-1)
-    cg = jnp.asarray(np.cos(ga))[None, :]
-    sg = jnp.asarray(np.sin(ga))[None, :]
-    c1r = c1 * cg - s1 * sg
-    s1r = s1 * cg + c1 * sg
-    lift_rel = _vm_stack(c1r, s1r, m, C.VM_FOURIER_N3_K8)   # [K, 7, 1024]
-    lift = _vm_stack(c1, s1, m, C.VM_FOURIER_N3_K8)
-
-    polar_planes = jnp.asarray(C.polar_embedding_planes().reshape(25, -1).T)
-    cart_planes = jnp.asarray(C.cart_embedding_planes().reshape(9, -1).T)
-    if fast:
-        lift_rel = lift_rel.astype(jnp.bfloat16)
-        lift = lift.astype(jnp.bfloat16)
-        polar_planes = polar_planes.astype(jnp.bfloat16)
-        cart_planes = cart_planes.astype(jnp.bfloat16)
-
-    polar = jnp.dot(lift_rel.reshape(K * 7, -1), polar_planes,
-                    preferred_element_type=jnp.float32).reshape(K, 175)
-    cart = jnp.dot(lift.reshape(K * 7, -1), cart_planes,
-                   preferred_element_type=jnp.float32).reshape(K, 63)
-
+    # formula (in the constant planes in fast mode, elementwise here),
+    # and higher harmonics use recurrences (_vm_stack) — the reference
+    # evaluates 12 transcendentals per pixel (embedding.glsl:44-54).
     def l2(v):
         return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+    if fast:
+        # one bf16 lift, [7, K, 1024] so the polar pooling batches over
+        # lift rows without a relayout
+        lift = _vm_stack(c1.astype(jnp.bfloat16), s1.astype(jnp.bfloat16),
+                         m.astype(jnp.bfloat16), C.VM_FOURIER_N3_K8,
+                         axis=0)                              # [7, K, 1024]
+        pp = jnp.asarray(_polar_planes_rotated()).astype(jnp.bfloat16)
+        cart_planes = jnp.asarray(
+            C.cart_embedding_planes().reshape(9, -1).T).astype(jnp.bfloat16)
+        # 7 plain [K,1024]x[1024,50] matmuls (unrolled: a j-batched
+        # einsum compiles pathologically slowly on TPU under vmap)
+        pooled = jnp.stack([
+            jnp.dot(lift[j], pp[j], preferred_element_type=jnp.float32)
+            for j in range(7)
+        ], axis=1)                                            # [K, 7, 50]
+        polar = _combine_polar(pooled)                        # [K, 175]
+        cart = jnp.dot(lift.reshape(7 * K, -1), cart_planes,
+                       preferred_element_type=jnp.float32)
+        cart = cart.reshape(7, K, 9).transpose(1, 0, 2).reshape(K, 63)
+    else:
+        ga = C.gradient_angle_table().reshape(-1)
+        cg = jnp.asarray(np.cos(ga))[None, :]
+        sg = jnp.asarray(np.sin(ga))[None, :]
+        c1r = c1 * cg - s1 * sg
+        s1r = s1 * cg + c1 * sg
+        lift_rel = _vm_stack(c1r, s1r, m, C.VM_FOURIER_N3_K8)  # [K, 7, 1024]
+        lift = _vm_stack(c1, s1, m, C.VM_FOURIER_N3_K8)
+        polar_planes = jnp.asarray(C.polar_embedding_planes().reshape(25, -1).T)
+        cart_planes = jnp.asarray(C.cart_embedding_planes().reshape(9, -1).T)
+        polar = jnp.dot(lift_rel.reshape(K * 7, -1), polar_planes,
+                        preferred_element_type=jnp.float32).reshape(K, 175)
+        cart = jnp.dot(lift.reshape(K * 7, -1), cart_planes,
+                       preferred_element_type=jnp.float32).reshape(K, 63)
 
     polar = l2(polar)
     cart = l2(cart)

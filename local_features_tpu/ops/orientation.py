@@ -91,10 +91,42 @@ def _decimated_canvases(coarse):
     return tuple(out)
 
 
+def _arena_canvas(coarse):
+    """One tall 2-D arena holding every phase-decimated plane of every
+    level, planes stacked along rows and zero-padded to a common width.
+
+    Folding the plane AND level selection into a row offset lets the
+    window fetch run as a single-canvas kernel: one `sel >= 0` predicate
+    per DMA instead of a 4-way canvas dispatch per item — the fetch is
+    scalar-issue-bound, so predication count is the cost that matters.
+
+    Returns (arena[1, Ha, Wa], row_base[_DECIM_LEVELS], plane_h[...]):
+    plane p of level l lives at rows [row_base[l] + p * plane_h[l], ...).
+    Every plane keeps >= OWIN_H rows / >= OWIN_W lanes of zero padding
+    inside its own strip, so clamped windows never cross into a
+    neighboring plane (same zero-fill semantics as the per-level
+    canvases).
+    """
+    canvases = _decimated_canvases(coarse)
+    Wa = max(c.shape[2] for c in canvases)
+    strips = [
+        jnp.pad(c.reshape(c.shape[0] * c.shape[1], c.shape[2]),
+                ((0, 0), (0, Wa - c.shape[2])))
+        for c in canvases
+    ]
+    row_base = []
+    acc = 0
+    for c in canvases:
+        row_base.append(acc)
+        acc += c.shape[0] * c.shape[1]
+    plane_h = tuple(c.shape[1] for c in canvases)
+    return jnp.concatenate(strips, axis=0)[None], tuple(row_base), plane_h
+
+
 def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
                                interpret=False):
-    """[F, 15, 15] neighborhoods via phase-decimated planes + Pallas
-    window DMA + batched one-hot extraction matmuls.
+    """[F, 15, 15] neighborhoods via a phase-decimated plane arena +
+    Pallas window DMA + batched one-hot extraction matmuls.
 
     Invalid slots pass the sel=-1 sentinel so the kernel skips their
     DMAs entirely (the fetch is per-descriptor latency-bound, and at
@@ -109,7 +141,7 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
 
     nC, H, W = coarse.shape
     F = xi.shape[0]
-    canvases = _decimated_canvases(coarse)
+    arena, row_base, plane_h = _arena_canvas(coarse)
 
     lv = jnp.minimum(level, _DECIM_LEVELS - 1)
     sstep = jnp.left_shift(1, lv)
@@ -126,10 +158,18 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
     shifted = basex + _XSTEP * k
     ox = (shifted // 128) * 128
     plane = k * sstep * sstep + plane
-    sel = jnp.where(bvalid, lv, -1)
+    # level -> arena row: arithmetic 4-way select (no gather), every
+    # term a multiple of 8 so the DMA sublane alignment holds
+    base = sum(jnp.where(lv == l, jnp.int32(row_base[l]), 0)
+               for l in range(len(row_base)))
+    ph = sum(jnp.where(lv == l, jnp.int32(plane_h[l]), 0)
+             for l in range(len(plane_h)))
+    oy_glob = base + plane * ph + oy
+    sel = jnp.where(bvalid, 0, -1)
+    zeros = jnp.zeros_like(plane)
 
-    win = fetch_windows_multi(canvases, sel, plane, oy, ox, win_h=_OWIN_H,
-                              win_w=_OWIN_W,
+    win = fetch_windows_multi((arena,), sel, zeros, oy_glob, ox,
+                              win_h=_OWIN_H, win_w=_OWIN_W,
                               interpret=interpret)        # [F, 24, 128]
 
     # batched one-hot extraction: patch[f, r, c] = win[f, yl+r, xl+c].

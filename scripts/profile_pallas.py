@@ -51,6 +51,17 @@ def main():
         fine = ss.fine_volume(coarse)
         if upto == "fine":
             return jnp.sum(fine)
+        if upto in ("dense", "topk"):
+            # detect sub-stages (mirrors detect_blobs)
+            from local_features_tpu.ops.detect import (dense_candidates,
+                                                       hierarchical_top_k)
+            dvalid, dx, dy, dsize, dcontrast = dense_candidates(fine)
+            if upto == "dense":
+                return (jnp.sum(dvalid) + jnp.sum(dcontrast)
+                        + jnp.sum(jnp.where(dvalid, dx + dy + dsize, 0.0)))
+            dscore = jnp.where(dvalid, dcontrast, -1.0).reshape(-1)
+            tv, ti = hierarchical_top_k(dscore, cfg.max_blobs)
+            return jnp.sum(tv) + jnp.sum(ti)
         blobs = detect_blobs(fine, cfg.max_blobs, 0.0)
         if upto == "detect":
             return jnp.sum(blobs.contrast)
@@ -59,9 +70,9 @@ def main():
             # orientation sub-stages (mirrors _sample_ori_patches_pallas)
             import local_features_tpu.ops.orientation as ori
             from local_features_tpu.pallas.windows import fetch_windows_multi
-            canvases = ori._decimated_canvases(coarse)
+            arena, row_base, plane_h = ori._arena_canvas(coarse)
             if upto == "ocanvas":
-                return sum(jnp.sum(c) for c in canvases)
+                return jnp.sum(arena)
             xi = jnp.floor(filt.x).astype(jnp.int32)
             yi = jnp.floor(filt.y).astype(jnp.int32)
             from local_features_tpu import constants as C
@@ -80,7 +91,14 @@ def main():
             shifted = basex + ori._XSTEP * k
             ox = (shifted // 128) * 128
             plane = k * sstep * sstep + plane
-            win = fetch_windows_multi(canvases, lv, plane, oy, ox,
+            base = sum(jnp.where(lv == l, jnp.int32(row_base[l]), 0)
+                       for l in range(len(row_base)))
+            ph = sum(jnp.where(lv == l, jnp.int32(plane_h[l]), 0)
+                     for l in range(len(plane_h)))
+            oy_glob = base + plane * ph + oy
+            sel = jnp.where(filt.valid, 0, -1)
+            win = fetch_windows_multi((arena,), sel, jnp.zeros_like(plane),
+                                      oy_glob, ox,
                                       win_h=ori._OWIN_H, win_w=ori._OWIN_W)
             if upto == "owin":
                 return jnp.sum(win)
@@ -114,6 +132,38 @@ def main():
                                         kps.valid, 24.0)
         if upto == "sample":
             return jnp.sum(patches)
+        if upto in ("dconv", "dlift", "dpool", "draw"):
+            # descriptor sub-stages (mirrors raw_mkd_descriptors fast path)
+            from local_features_tpu import constants as C
+            from local_features_tpu.ops.descriptor import (
+                _patches_mag_cos_sin, _vm_stack, raw_mkd_descriptors)
+            K = patches.shape[0]
+            mag, c1, s1 = _patches_mag_cos_sin(patches)
+            if upto == "dconv":
+                return jnp.sum(mag) + jnp.sum(c1) + jnp.sum(s1)
+            from local_features_tpu.ops.descriptor import (
+                _combine_polar, _polar_planes_rotated)
+            m = mag.reshape(K, -1)
+            c1 = c1.reshape(K, -1)
+            s1 = s1.reshape(K, -1)
+            lift = _vm_stack(c1.astype(jnp.bfloat16), s1.astype(jnp.bfloat16),
+                             m.astype(jnp.bfloat16), C.VM_FOURIER_N3_K8,
+                             axis=0)
+            if upto == "dlift":
+                return jnp.sum(lift.astype(jnp.float32))
+            pp = jnp.asarray(_polar_planes_rotated()).astype(jnp.bfloat16)
+            cart_planes = jnp.asarray(
+                C.cart_embedding_planes().reshape(9, -1).T).astype(jnp.bfloat16)
+            pooled = jnp.stack([
+                jnp.dot(lift[j], pp[j], preferred_element_type=jnp.float32)
+                for j in range(7)
+            ], axis=1)
+            polar = _combine_polar(pooled)
+            cart = jnp.dot(lift.reshape(7 * K, -1), cart_planes,
+                           preferred_element_type=jnp.float32)
+            if upto == "dpool":
+                return jnp.sum(polar) + jnp.sum(cart)
+            return jnp.sum(raw_mkd_descriptors(patches, fast=True))
         desc = mkd_descriptors(patches, mean, proj, kps.valid, fast=True)
         if upto == "desc":
             return jnp.sum(desc)
@@ -148,6 +198,10 @@ def main():
     if _os.environ.get("LF_PROFILE_ORI") == "1":
         stages = ["scale", "fine", "detect", "ocanvas", "owin", "oextract",
                   "orient"]
+    if _os.environ.get("LF_PROFILE_DET") == "1":
+        stages = ["fine", "dense", "topk", "detect"]
+    if _os.environ.get("LF_PROFILE_DESC") == "1":
+        stages = ["sample", "dconv", "dlift", "dpool", "draw", "desc"]
     prev = 0.0
     for stage in stages:
         dt = run(stage)

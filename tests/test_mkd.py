@@ -69,3 +69,14 @@ def test_raw_descriptor_structure(rng):
     cart_n = np.linalg.norm(raw[:, 175:], axis=1)
     np.testing.assert_allclose(polar_n, 1 / np.sqrt(2), atol=1e-5)
     np.testing.assert_allclose(cart_n, 1 / np.sqrt(2), atol=1e-5)
+
+
+def test_fast_descriptor_matches_exact(rng):
+    """bf16 fast path (single lift, rotation folded into constant
+    planes) stays within matching tolerance of the exact f32 path."""
+    patches = jnp.asarray(rng.random((64, 32, 32), dtype=np.float32))
+    exact = np.asarray(raw_mkd_descriptors(patches, fast=False))
+    fast = np.asarray(raw_mkd_descriptors(patches, fast=True))
+    cos = np.sum(exact * fast, axis=1)  # both L2-normalized
+    assert cos.min() > 0.99999
+    np.testing.assert_allclose(fast, exact, atol=5e-3)
