@@ -137,7 +137,7 @@ def dense_candidates(
 
 
 def hierarchical_top_k(
-    score: jnp.ndarray, k: int, chunk: int = 4096, chunk_cap: int = 256,
+    score: jnp.ndarray, k: int, chunk: int = 4096, chunk_cap: int = 64,
     rescue: int = 4,
 ):
     """Two-level top_k over a large flat score array.
@@ -147,9 +147,13 @@ def hierarchical_top_k(
     level to `n_chunks * chunk_cap` elements.  The capped pool alone is
     exact whenever no chunk holds more than `chunk_cap` positive-score
     entries — strict 26-neighbor extrema can't exceed 1/8 voxel density,
-    far below 256/4096.  Because the extremum test allows ties (`>=`,
-    scan_extrema.glsl semantics), a degenerate above-threshold plateau
-    *can* make whole regions extremal and saturate a chunk.
+    and measured real-image densities are far lower still (bird.jpg
+    full-res: max 9 per 4096-voxel chunk; houses.jpg at 4096x3072 with
+    30.5k candidates: max 32 — so 64 keeps 2x headroom while shrinking
+    both sort levels 4x vs the round-1 cap of 256).  Because the
+    extremum test allows ties (`>=`, scan_extrema.glsl semantics), a
+    degenerate above-threshold plateau *can* make whole regions
+    extremal and saturate a chunk.
 
     Plateau rescue: the `rescue` chunks with the highest positive-entry
     counts contribute their FULL contents to the second-level pool
@@ -168,10 +172,14 @@ def hierarchical_top_k(
     if n <= 4 * chunk or k >= n:
         return jax.lax.top_k(score, min(k, n))
     n_chunks = -(-n // chunk)
-    cap = min(chunk_cap, chunk, k)
+    # adaptive cap: few chunks (small images, large k) need a larger
+    # per-chunk cap so the pool can still source k survivors with 2x
+    # slack; rounded to 8 for layout
+    cap = max(chunk_cap, -(-2 * k // n_chunks // 8) * 8)
+    cap = min(cap, chunk, k)
     if n_chunks * cap < k:
-        # too few chunks to source k survivors (small images with large
-        # max_blobs): the two-level scheme can't be exact, go flat
+        # still too few chunks (k ~ n/2): the two-level scheme can't be
+        # exact, go flat
         return jax.lax.top_k(score, k)
     # finite pad: 0 * pad must stay finite in the rescue one-hot matmul,
     # and callers treat scores <= 0 as invalid anyway
