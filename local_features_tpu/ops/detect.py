@@ -247,15 +247,17 @@ def detect_blobs(
     # hence the shape/batching flakiness).
     flat = lambda a, fill=0: jnp.where(sel_valid, a.reshape(-1)[top_idx],
                                        fill)
-    zz = jnp.broadcast_to(
-        jnp.arange(1, L - 1, dtype=jnp.int32)[:, None, None], valid.shape
-    )
+    # contrast = the top_k score itself; level = flat-index arithmetic —
+    # both avoid a scalar gather (~100M elem/s on TPU; 3 gathers instead
+    # of 5 for the slot payload)
+    plane = (H - 2) * (W - 2)
+    lvl = jnp.where(sel_valid, 1 + (top_idx // plane).astype(jnp.int32), 1)
     return BlobArrays(
         x=flat(jnp.broadcast_to(x, valid.shape)),
         y=flat(jnp.broadcast_to(y, valid.shape)),
         size=flat(jnp.broadcast_to(size, valid.shape)),
-        contrast=flat(contrast),
-        level=flat(zz, 1),
+        contrast=jnp.where(sel_valid, top_scores, 0.0),
+        level=lvl,
         valid=sel_valid,
         n_total=n_total,
         n_dropped=n_total - n_kept,

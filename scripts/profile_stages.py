@@ -1,8 +1,17 @@
-"""Cumulative-prefix timing of the front-end on the real TPU.
+"""Cumulative-prefix timing of the XLA-fallback front-end path.
 
-Each measurement jits a prefix of the pipeline and reduces the output to a
-scalar so nothing can be dead-code-eliminated or left un-materialized;
-stage cost = difference between successive prefixes.
+Each measurement jits a prefix of the pipeline and reduces the output to
+a scalar so nothing can be dead-code-eliminated; stage cost = difference
+between successive prefixes.  NOTE: successive prefixes share work, but
+an unused intermediate (e.g. detect in a pyramid-only prefix) is DCE'd —
+read deltas against the dependency structure, not the printed order.
+
+Timing is dependency-chained (each iteration's scalar feeds the next
+input; one host fetch at the end): `block_until_ready` loops do NOT
+reliably fence on the tunneled axon platform and can report memoized
+~0 ms times (see bench.py docstring).  The Pallas production path is
+profiled by scripts/profile_pallas.py; this script times the exact-XLA
+fallback (sampler="xla", fast=False).
 """
 
 import sys
@@ -13,15 +22,16 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def bench(fn, *args, iters=5):
+def bench(fn, x, iters=5):
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = fn(x)
+    _ = np.asarray(jnp.sum(out))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        x = fn(x)
+    _ = np.asarray(jnp.sum(x))  # single fetch fences the chain
     return (time.perf_counter() - t0) / iters
 
 
@@ -94,7 +104,9 @@ def main():
     prev = 0.0
     for stage in ["scale", "fine", "dense", "detect", "orient", "pyramid",
                   "sample", "magangle", "raw", "full"]:
-        f = jax.jit(lambda im, s=stage: pipeline(im, s))
+        # chain: feed the prefix's scalar back into the images so the
+        # iterations serialize on device
+        f = jax.jit(lambda im, s=stage: im + 1e-20 * pipeline(im, s))
         dt = bench(f, imgs)
         print(f"{stage:10s} cum {dt*1e3:8.2f} ms   delta {(dt-prev)*1e3:8.2f} ms"
               f"   ({B/dt:6.1f} fps)")
