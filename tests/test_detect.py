@@ -222,3 +222,20 @@ def test_invalid_slots_are_sanitized(test_image, rng):
     v = ~iv
     assert (np.asarray(b.x)[v] >= 0).all() and (np.asarray(b.x)[v] < W).all()
     assert (np.asarray(b.y)[v] >= 0).all() and (np.asarray(b.y)[v] < H).all()
+
+
+def test_hierarchical_top_k_adaptive_cap_matches_flat():
+    """Middle regime (240x320 with max_blobs=8000): few chunks force the
+    adaptive cap (2k/n_chunks rounded to 8) instead of the flat fallback;
+    selection must match a flat top_k exactly."""
+    rng = np.random.default_rng(5)
+    n, k = 74 * 4096, 8000  # ~240x320 fine volume, bench max_blobs
+    score = np.full(n, -1.0, np.float32)
+    idx = rng.choice(n, 12000, replace=False)
+    score[idx] = rng.uniform(0.05, 5.0, 12000).astype(np.float32)
+    v, i = hierarchical_top_k(jnp.asarray(score), k)
+    ev = np.sort(score)[::-1][:k]
+    np.testing.assert_allclose(np.asarray(v), ev)
+    # positive scores are unique almost surely -> indices determined
+    pos = ev > 0
+    np.testing.assert_allclose(score[np.asarray(i)[pos]], ev[pos])
