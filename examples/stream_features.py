@@ -161,6 +161,7 @@ def main() -> int:
     first = True
     snap_index: DescriptorIndex | None = None
     snap_xy = None
+    snap_abs = -1
     n_rendered = 0
     for frame in loader:
         buf.append(frame)
@@ -184,15 +185,21 @@ def main() -> int:
             # bank row j <-> snapshot keypoint position (for the overlay
             # lines; main.rs keeps the snapshot keypoints alongside usearch)
             snap_xy = (np.asarray(res.x[i])[keep], np.asarray(res.y[i])[keep])
-            print(f"snapshot @ frame {n_frames + i}: indexed "
+            snap_abs = n_frames + i
+            print(f"snapshot @ frame {snap_abs}: indexed "
                   f"{len(snap_index)} descriptors")
         qm = None
         if snap_index is not None:
             # batched 2-NN query against the persistent snapshot bank
-            # (webcam demo's per-frame loop, main.rs:261-282)
+            # (webcam demo's per-frame loop, main.rs:261-282); only
+            # frames AFTER the snapshot query it — earlier frames in the
+            # snapshot's own batch predate it (and the snapshot frame
+            # would just self-match)
+            after = (n_frames + np.arange(B)) > snap_abs          # [B]
             qm = snap_index.search(
                 np.asarray(res.descriptors).reshape(-1, 128),
-                valid=np.asarray(res.valid).reshape(-1))
+                valid=(np.asarray(res.valid)
+                       & after[:, None]).reshape(-1))
             nm = np.asarray(qm.mask).reshape(B, -1).sum(axis=1)
             tag = "snapshot matches"
         else:

@@ -153,23 +153,25 @@ def _patches_mag_cos_sin(patches: jnp.ndarray):
     return mag, c1, s1
 
 
-def _vm_stack(c1, s1, m, coef, axis: int = 1):
+def _vm_stack(c1, s1, m, coef, axis: int = 1, out_dtype=None):
     """Von Mises components from cos/sin of the base angle, stacked on
     `axis` (1 -> [K, 7, N], 0 -> [7, K, N]).
 
     Higher harmonics come from Chebyshev-style recurrences
     (cos2 = 2c^2-1, sin2 = 2sc, cos3 = 2*cos2*c - c, sin3 = 2*cos2*s + s)
-    instead of extra transcendental evaluations."""
-    dt = c1.dtype
-    cf = [jnp.asarray(float(c), dt) for c in coef]
-    one = jnp.asarray(1.0, dt)
-    two = jnp.asarray(2.0, dt)
-    c2 = two * c1 * c1 - one
-    s2 = two * s1 * c1
-    c3 = two * c2 * c1 - c1
-    s3 = two * c2 * s1 + s1
+    instead of extra transcendental evaluations.  The recurrence math
+    runs in the input dtype (f32 everywhere in practice — CLAUDE.md
+    limits bf16 to the pooling matmuls); `out_dtype` casts only at the
+    stacked materialization, which is where the HBM traffic is."""
+    c2 = 2.0 * c1 * c1 - 1.0
+    s2 = 2.0 * s1 * c1
+    c3 = 2.0 * c2 * c1 - c1
+    s3 = 2.0 * c2 * s1 + s1
+    cf = [float(c) for c in coef]
     comps = [cf[0] * m, cf[1] * c1 * m, cf[2] * c2 * m, cf[3] * c3 * m,
              cf[1] * s1 * m, cf[2] * s2 * m, cf[3] * s3 * m]
+    if out_dtype is not None:
+        comps = [c.astype(out_dtype) for c in comps]
     return jnp.stack(comps, axis=axis)
 
 
@@ -250,11 +252,11 @@ def raw_mkd_descriptors(patches: jnp.ndarray, fast: bool = False) -> jnp.ndarray
         return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
 
     if fast:
-        # one bf16 lift, [7, K, 1024] so the polar pooling batches over
-        # lift rows without a relayout
-        lift = _vm_stack(c1.astype(jnp.bfloat16), s1.astype(jnp.bfloat16),
-                         m.astype(jnp.bfloat16), C.VM_FOURIER_N3_K8,
-                         axis=0)                              # [7, K, 1024]
+        # one lift, f32 math, materialized bf16 (only the pooling
+        # matmuls are low-precision, per the parity rules); [7, K, 1024]
+        # so the polar pooling batches over lift rows without a relayout
+        lift = _vm_stack(c1, s1, m, C.VM_FOURIER_N3_K8,
+                         axis=0, out_dtype=jnp.bfloat16)      # [7, K, 1024]
         pp = jnp.asarray(_polar_planes_rotated()).astype(jnp.bfloat16)
         cart_planes = jnp.asarray(
             C.cart_embedding_planes().reshape(9, -1).T).astype(jnp.bfloat16)

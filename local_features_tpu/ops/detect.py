@@ -138,7 +138,7 @@ def dense_candidates(
 
 def hierarchical_top_k(
     score: jnp.ndarray, k: int, chunk: int = 4096, chunk_cap: int = 64,
-    rescue: int = 4,
+    rescue: int = 6,
 ):
     """Two-level top_k over a large flat score array.
 
@@ -174,13 +174,12 @@ def hierarchical_top_k(
     n_chunks = -(-n // chunk)
     # adaptive cap: few chunks (small images, large k) need a larger
     # per-chunk cap so the pool can still source k survivors with 2x
-    # slack; rounded to 8 for layout
+    # slack; rounded to 8 for layout.  Every clamp preserves
+    # n_chunks * cap >= k (max-term -> >= 2k; chunk -> n_chunks*chunk
+    # >= n > k; k -> n_chunks*k >= k), so the pool can always source k.
     cap = max(chunk_cap, -(-2 * k // n_chunks // 8) * 8)
     cap = min(cap, chunk, k)
-    if n_chunks * cap < k:
-        # still too few chunks (k ~ n/2): the two-level scheme can't be
-        # exact, go flat
-        return jax.lax.top_k(score, k)
+    assert n_chunks * cap >= k
     # finite pad: 0 * pad must stay finite in the rescue one-hot matmul,
     # and callers treat scores <= 0 as invalid anyway
     padded = jnp.pad(score, (0, n_chunks * chunk - n), constant_values=-1.0)

@@ -123,24 +123,14 @@ def _arena_canvas(coarse):
     return jnp.concatenate(strips, axis=0)[None], tuple(row_base), plane_h
 
 
-def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
-                               interpret=False):
-    """[F, 15, 15] neighborhoods via a phase-decimated plane arena +
-    Pallas window DMA + batched one-hot extraction matmuls.
+def _arena_offsets(coarse, xi, yi, level, bvalid):
+    """Window-fetch coordinates into the plane arena for each blob slot.
 
-    Invalid slots pass the sel=-1 sentinel so the kernel skips their
-    DMAs entirely (the fetch is per-descriptor latency-bound, and at
-    capacity padding typically >half the slots are invalid); their
-    window contents are arbitrary and masked downstream via bvalid.
-
-    Levels >= _DECIM_LEVELS (blob radius >= ~19 px — rare) fall back to
-    the scalar gather on up to _BIG_CAP compacted slots; big blobs past
-    that capacity yield empty histograms (and thus no keypoints).
+    Returns (arena, sel, plane0, oy_glob, ox, y_local, x_local): the
+    fetch_windows_multi arguments plus the in-window coordinates of the
+    15x15 patch origin.  Shared by the production path and the stage
+    profiler (scripts/profile_pallas.py) so the two cannot drift.
     """
-    from ..pallas.windows import fetch_windows_multi
-
-    nC, H, W = coarse.shape
-    F = xi.shape[0]
     arena, row_base, plane_h = _arena_canvas(coarse)
 
     lv = jnp.minimum(level, _DECIM_LEVELS - 1)
@@ -166,17 +156,39 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
              for l in range(len(plane_h)))
     oy_glob = base + plane * ph + oy
     sel = jnp.where(bvalid, 0, -1)
-    zeros = jnp.zeros_like(plane)
+    return (arena, sel, jnp.zeros_like(plane), oy_glob, ox,
+            yd - _R - oy, shifted - ox)
 
-    win = fetch_windows_multi((arena,), sel, zeros, oy_glob, ox,
+
+def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
+                               interpret=False):
+    """[F, 15, 15] neighborhoods via a phase-decimated plane arena +
+    Pallas window DMA + batched one-hot extraction matmuls.
+
+    Invalid slots pass the sel=-1 sentinel so the kernel skips their
+    DMAs entirely (the fetch is per-descriptor latency-bound, and at
+    capacity padding typically >half the slots are invalid); their
+    window contents are arbitrary and masked downstream via bvalid.
+
+    Levels >= _DECIM_LEVELS (blob radius >= ~19 px — rare) fall back to
+    the scalar gather on up to _BIG_CAP compacted slots; big blobs past
+    that capacity yield empty histograms (and thus no keypoints).
+    """
+    from ..pallas.windows import fetch_windows_multi
+
+    nC, H, W = coarse.shape
+    F = xi.shape[0]
+    (arena, sel, plane0, oy_glob, ox,
+     y_local, x_local) = _arena_offsets(coarse, xi, yi, level, bvalid)
+
+    win = fetch_windows_multi((arena,), sel, plane0, oy_glob, ox,
                               win_h=_OWIN_H, win_w=_OWIN_W,
                               interpret=interpret)        # [F, 24, 128]
 
     # batched one-hot extraction: patch[f, r, c] = win[f, yl+r, xl+c].
     # Precision.HIGHEST keeps the 0/1 selection exact (the TPU default
     # matmul precision would round the window values to bf16).
-    y_local = yd - _R - oy                                  # [0, 8)
-    x_local = shifted - ox                                  # [0, _XSTEP)
+    # y_local in [0, 8); x_local in [0, _XSTEP)
     rows = jnp.arange(_OWIN_H, dtype=jnp.int32)
     cols = jnp.arange(_OWIN_W, dtype=jnp.int32)
     r15 = jnp.arange(_PS, dtype=jnp.int32)

@@ -67,11 +67,13 @@ def main():
             return jnp.sum(blobs.contrast)
         filt = _truncate_blobs(blobs, cfg.max_filtered, 2000)
         if upto in ("ocanvas", "owin", "oextract"):
-            # orientation sub-stages (mirrors _sample_ori_patches_pallas)
+            # orientation sub-stages via the SHARED production helpers
+            # (ops.orientation._arena_offsets) so the profiler cannot
+            # drift from the real pipeline
             import local_features_tpu.ops.orientation as ori
             from local_features_tpu.pallas.windows import fetch_windows_multi
-            arena, row_base, plane_h = ori._arena_canvas(coarse)
             if upto == "ocanvas":
+                arena, *_ = ori._arena_canvas(coarse)
                 return jnp.sum(arena)
             xi = jnp.floor(filt.x).astype(jnp.int32)
             yi = jnp.floor(filt.y).astype(jnp.int32)
@@ -80,30 +82,12 @@ def main():
             level = jnp.round(jnp.log2(filt.size / (
                 C.DOG_FIRST_SCALE_SIGMA * C.DOG_SIGMA_RADIUS_FACTOR)))
             level = jnp.clip(level, 0, nC - 1).astype(jnp.int32)
-            lv = jnp.minimum(level, ori._DECIM_LEVELS - 1)
-            sstep = jnp.left_shift(1, lv)
-            plane = jnp.mod(yi, sstep) * sstep + jnp.mod(xi, sstep)
-            yd = jnp.right_shift(yi, lv)
-            xd = jnp.right_shift(xi, lv)
-            oy = jnp.maximum(((yd - ori._R) // 8) * 8, 0)
-            basex = xd - ori._R
-            k = jnp.mod(-(basex // ori._XSTEP), ori._XPHASE)
-            shifted = basex + ori._XSTEP * k
-            ox = (shifted // 128) * 128
-            plane = k * sstep * sstep + plane
-            base = sum(jnp.where(lv == l, jnp.int32(row_base[l]), 0)
-                       for l in range(len(row_base)))
-            ph = sum(jnp.where(lv == l, jnp.int32(plane_h[l]), 0)
-                     for l in range(len(plane_h)))
-            oy_glob = base + plane * ph + oy
-            sel = jnp.where(filt.valid, 0, -1)
-            win = fetch_windows_multi((arena,), sel, jnp.zeros_like(plane),
-                                      oy_glob, ox,
+            (arena, sel, plane0, oy_glob, ox, y_local, x_local) = \
+                ori._arena_offsets(coarse, xi, yi, level, filt.valid)
+            win = fetch_windows_multi((arena,), sel, plane0, oy_glob, ox,
                                       win_h=ori._OWIN_H, win_w=ori._OWIN_W)
             if upto == "owin":
                 return jnp.sum(win)
-            y_local = yd - ori._R - oy
-            x_local = shifted - ox
             rows = jnp.arange(ori._OWIN_H, dtype=jnp.int32)
             cols = jnp.arange(ori._OWIN_W, dtype=jnp.int32)
             r15 = jnp.arange(ori._PS, dtype=jnp.int32)

@@ -6,9 +6,15 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+from local_features_tpu import native
+
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.skipif(not native.available(),
+                    reason="native frame loader unavailable")
 def test_stream_features_snapshot_overlay(tmp_path):
     """The webcam-demo analog end-to-end: synthetic stream -> snapshot
     index -> per-frame 2-NN matching -> rendered overlay frames + viewer
