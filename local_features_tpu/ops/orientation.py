@@ -93,45 +93,54 @@ def _decimated_canvases(coarse):
 
 def _arena_canvas(coarse):
     """One tall 2-D arena holding every phase-decimated plane of every
-    level, planes stacked along rows and zero-padded to a common width.
+    level, planes packed into row-bands of `ncol` side-by-side columns
+    and zero-padded to a common width.
 
-    Folding the plane AND level selection into a row offset lets the
-    window fetch run as a single-canvas kernel: one `sel >= 0` predicate
-    per DMA instead of a 4-way canvas dispatch per item — the fetch is
-    scalar-issue-bound, so predication count is the cost that matters.
+    Folding the plane AND level selection into (row, col) offsets lets
+    the window fetch run as a single-canvas kernel: one `sel >= 0`
+    predicate per DMA instead of a 4-way canvas dispatch per item — the
+    fetch is scalar-issue-bound, so predication count is the cost that
+    matters.  Column packing keeps the deeper levels (whose planes are
+    narrow but numerous — 4^l * XPHASE of them) from inflating the
+    arena ~(Wa/Wc_l)x when the image is wide.
 
-    Returns (arena[1, Ha, Wa], row_base[_DECIM_LEVELS], plane_h[...]):
-    plane p of level l lives at rows [row_base[l] + p * plane_h[l], ...).
-    Every plane keeps >= OWIN_H rows / >= OWIN_W lanes of zero padding
-    inside its own strip, so clamped windows never cross into a
-    neighboring plane (same zero-fill semantics as the per-level
-    canvases).
+    Returns (arena[1, Ha, Wa], layout) with layout[l] =
+    (row_base, plane_h, ncol, col_w): plane p of level l lives at
+    rows [row_base + (p // ncol) * plane_h, ...) and cols
+    [(p % ncol) * col_w, ...).  col_w is a multiple of 128 and each
+    plane keeps >= OWIN_H rows / >= OWIN_W lanes of zero padding inside
+    its own cell (see _decimated_canvases), so clamped windows never
+    cross into a neighboring plane.
     """
     canvases = _decimated_canvases(coarse)
     Wa = max(c.shape[2] for c in canvases)
-    strips = [
-        jnp.pad(c.reshape(c.shape[0] * c.shape[1], c.shape[2]),
-                ((0, 0), (0, Wa - c.shape[2])))
-        for c in canvases
-    ]
-    row_base = []
+    strips = []
+    layout = []
     acc = 0
     for c in canvases:
-        row_base.append(acc)
-        acc += c.shape[0] * c.shape[1]
-    plane_h = tuple(c.shape[1] for c in canvases)
-    return jnp.concatenate(strips, axis=0)[None], tuple(row_base), plane_h
+        P, Hc, Wc = c.shape
+        ncol = max(1, Wa // Wc)
+        nrow = -(-P // ncol)
+        pad_p = nrow * ncol - P
+        grid = jnp.pad(c, ((0, pad_p), (0, 0), (0, 0)))
+        # [nrow, ncol, Hc, Wc] -> [nrow*Hc, ncol*Wc]
+        grid = grid.reshape(nrow, ncol, Hc, Wc).transpose(0, 2, 1, 3)
+        grid = grid.reshape(nrow * Hc, ncol * Wc)
+        strips.append(jnp.pad(grid, ((0, 0), (0, Wa - ncol * Wc))))
+        layout.append((acc, Hc, ncol, Wc))
+        acc += nrow * Hc
+    return jnp.concatenate(strips, axis=0)[None], tuple(layout)
 
 
 def _arena_offsets(coarse, xi, yi, level, bvalid):
     """Window-fetch coordinates into the plane arena for each blob slot.
 
-    Returns (arena, sel, plane0, oy_glob, ox, y_local, x_local): the
-    fetch_windows_multi arguments plus the in-window coordinates of the
-    15x15 patch origin.  Shared by the production path and the stage
-    profiler (scripts/profile_pallas.py) so the two cannot drift.
+    Returns (arena, sel, plane0, oy_glob, ox_glob, y_local, x_local):
+    the fetch_windows_multi arguments plus the in-window coordinates of
+    the 15x15 patch origin.  Shared by the production path and the
+    stage profiler (scripts/profile_pallas.py) so the two cannot drift.
     """
-    arena, row_base, plane_h = _arena_canvas(coarse)
+    arena, layout = _arena_canvas(coarse)
 
     lv = jnp.minimum(level, _DECIM_LEVELS - 1)
     sstep = jnp.left_shift(1, lv)
@@ -148,15 +157,19 @@ def _arena_offsets(coarse, xi, yi, level, bvalid):
     shifted = basex + _XSTEP * k
     ox = (shifted // 128) * 128
     plane = k * sstep * sstep + plane
-    # level -> arena row: arithmetic 4-way select (no gather), every
-    # term a multiple of 8 so the DMA sublane alignment holds
-    base = sum(jnp.where(lv == l, jnp.int32(row_base[l]), 0)
-               for l in range(len(row_base)))
-    ph = sum(jnp.where(lv == l, jnp.int32(plane_h[l]), 0)
-             for l in range(len(plane_h)))
-    oy_glob = base + plane * ph + oy
+    # level -> arena cell: arithmetic 4-way selects (no gather); row
+    # terms are multiples of 8 and col terms multiples of 128, so the
+    # DMA alignment hints stay truthful
+    pick = lambda f: sum(jnp.where(lv == l, jnp.int32(f(layout[l])), 0)
+                         for l in range(len(layout)))
+    base = pick(lambda t: t[0])
+    ph = pick(lambda t: t[1])
+    ncol = pick(lambda t: t[2])
+    colw = pick(lambda t: t[3])
+    oy_glob = base + (plane // ncol) * ph + oy
+    ox_glob = (plane % ncol) * colw + ox
     sel = jnp.where(bvalid, 0, -1)
-    return (arena, sel, jnp.zeros_like(plane), oy_glob, ox,
+    return (arena, sel, jnp.zeros_like(plane), oy_glob, ox_glob,
             yd - _R - oy, shifted - ox)
 
 

@@ -131,3 +131,39 @@ def test_vmapped_window_fetch_matches_per_frame():
     for b in range(B):
         ref = fetch(shared, sel[b], plane[b], oy[b], ox[b])
         np.testing.assert_array_equal(np.asarray(got_sh[b]), np.asarray(ref))
+
+
+def test_pallas_orientation_wide_image_packed_arena(rng):
+    """Wide image (ncol > 1 arena cells): packed-grid offsets must stay
+    parity-exact with the gather path, with synthetic blobs spread over
+    every level so the column-packed deep levels are exercised."""
+    import numpy as np
+    import jax.numpy as jnp
+    from local_features_tpu.ops.orientation import (orientation_histograms,
+                                                    _arena_canvas)
+
+    H, W = 192, 1024  # Wc(level>=2) < Wa -> column packing kicks in
+    img = (0.5 + 0.2 * rng.standard_normal((H, W))).astype(np.float32)
+    coarse = jss.scale_space(jnp.asarray(img), 4)
+
+    F = 64
+    bx = jnp.asarray(rng.uniform(2, W - 3, F).astype(np.float32))
+    by = jnp.asarray(rng.uniform(2, H - 3, F).astype(np.float32))
+    # sizes spanning decimation levels 0..3 (and the big-blob fallback)
+    bsize = jnp.asarray(
+        (0.82 * np.sqrt(2) * 2 ** rng.uniform(0, 4.5, F)).astype(np.float32))
+    bvalid = jnp.asarray(rng.random(F) > 0.2)
+
+    a1, p1 = orientation_histograms(coarse, bx, by, bsize, bvalid,
+                                    use_pallas=False)
+    a2, p2 = orientation_histograms(coarse, bx, by, bsize, bvalid,
+                                    use_pallas=True, interpret=True)
+    v = np.asarray(bvalid)
+    assert np.array_equal(np.asarray(p1)[v], np.asarray(p2)[v])
+    pk = np.asarray(p1)[v]
+    d = np.abs(np.asarray(a1)[v] - np.asarray(a2)[v])[pk]
+    assert d.size == 0 or d.max() < 1e-4
+
+    # column packing actually engaged and bounded the arena
+    arena, layout = _arena_canvas(coarse)
+    assert any(t[2] > 1 for t in layout)
