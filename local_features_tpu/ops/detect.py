@@ -212,13 +212,25 @@ def detect_blobs(
     min_size: jnp.ndarray | float = 0.0,
     border: int = C.DETECT_BORDER,
     contrast_threshold: float = C.CONTRAST_THRESHOLD,
+    select_cap: int | None = None,
 ) -> BlobArrays:
-    """Detect + compact candidate blobs to a fixed [max_blobs] capacity.
+    """Detect + compact candidate blobs to a fixed capacity.
 
     Compaction keeps the strongest candidates by refined |contrast|
     (deterministic), with a runtime `min_size` gate — fusing the detect
     capacity and the TopKContrastFilter min-size semantics
     (vulkan/mod.rs:1753-1786) into one on-device top_k.
+
+    `select_cap` (default `max_blobs`) is the number of slots actually
+    materialized.  The fused front-end passes `max_filtered` here: when
+    the built-in top-n filter immediately truncates to `max_filtered`
+    slots, selecting the top `max_blobs` first is wasted sort + gather
+    work — the top `select_cap` by contrast are the same either way.
+    Drop accounting stays in ENGINE terms (vs `max_blobs`, the
+    reference's atomic-append capacity): n_dropped = n_total -
+    min(n_total, max_blobs).  (The uncapped path counts kept slots
+    exactly instead, which can differ only under >rescue plateau
+    saturation of the hierarchical top_k.)
     """
     L, H, W = fine.shape
     valid, x, y, size, contrast = dense_candidates(
@@ -227,12 +239,16 @@ def detect_blobs(
     valid &= size >= jnp.asarray(min_size, jnp.float32)
     n_total = jnp.sum(valid, dtype=jnp.int32)
 
+    k_sel = max_blobs if select_cap is None else min(select_cap, max_blobs)
     score = jnp.where(valid, contrast, -1.0).reshape(-1)
-    top_scores, top_idx = hierarchical_top_k(score, max_blobs)
+    top_scores, top_idx = hierarchical_top_k(score, k_sel)
     sel_valid = top_scores > 0.0
-    # exact even under >rescue plateau saturation, where fewer than
-    # min(n_total, max_blobs) candidates can survive the capped pool
-    n_kept = jnp.sum(sel_valid, dtype=jnp.int32)
+    if select_cap is None:
+        # exact even under >rescue plateau saturation, where fewer than
+        # min(n_total, max_blobs) candidates can survive the capped pool
+        n_kept = jnp.sum(sel_valid, dtype=jnp.int32)
+    else:
+        n_kept = jnp.minimum(n_total, max_blobs)
 
     # Invalid slots MUST be zeroed, not left with whatever the gather
     # returns: the dense refine computes x/y/size at EVERY voxel, and on

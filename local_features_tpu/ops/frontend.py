@@ -125,8 +125,20 @@ def detect_extract(
     """Full single-image front-end.  `top_n`, `min_size` and
     `patch_scale_factor` are runtime (traced) values; everything in `cfg`
     is compile-time static."""
-    coarse, blobs = detect_phase(img, cfg, min_size)
-    filtered = _truncate_blobs(blobs, cfg.max_filtered, top_n)
+    from .scale_space import fine_volume, scale_space
+
+    coarse = scale_space(img, cfg.n_scales)
+    # built-in top-n filter fuses with the detect compaction: only the
+    # top max_filtered slots are ever used downstream, so selection is
+    # capped there (detect_blobs keeps drop accounting vs max_blobs);
+    # detect_phase (the host-filter escape hatch) materializes all
+    # max_blobs slots instead
+    blobs = detect_blobs(
+        fine_volume(coarse), cfg.max_blobs, min_size, cfg.border,
+        cfg.contrast_threshold, select_cap=cfg.max_filtered,
+    )
+    filtered = _truncate_blobs(blobs, min(cfg.max_filtered, cfg.max_blobs),
+                               top_n)
 
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
                                use_pallas=cfg.sampler == "pallas",

@@ -239,3 +239,17 @@ def test_hierarchical_top_k_adaptive_cap_matches_flat():
     # positive scores are unique almost surely -> indices determined
     pos = ev > 0
     np.testing.assert_allclose(score[np.asarray(i)[pos]], ev[pos])
+
+
+def test_select_cap_matches_truncated_full_selection(test_image):
+    """detect_blobs(select_cap=m) returns exactly the first m slots of
+    the full max_blobs selection, with ENGINE-capacity drop accounting."""
+    fine = jss.fine_volume(jss.scale_space(jnp.asarray(test_image), 4))
+    full = detect_blobs(fine, max_blobs=256)
+    capped = detect_blobs(fine, max_blobs=256, select_cap=16)
+    for f in ("x", "y", "size", "contrast", "level", "valid"):
+        np.testing.assert_array_equal(np.asarray(getattr(capped, f)),
+                                      np.asarray(getattr(full, f))[:16])
+    assert int(capped.n_total) == int(full.n_total)
+    # engine drop accounting: vs max_blobs=256, not vs the 16 slots
+    assert int(capped.n_dropped) == max(int(full.n_total) - 256, 0)
