@@ -109,8 +109,11 @@ def sample_patches(
     return jnp.where(kvalid[:, None, None], patch, 0.0)
 
 
-def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Blur + negated gradients + (mag^(1/2), -atan2) for [K, 32, 32]."""
+def _blurred_gradients(patches: jnp.ndarray):
+    """sigma=0.7 blur then negated central-difference gradients with
+    replicate border (patch_gradients.glsl:74-106, mkd_ref.rs:82-127).
+    Shared by the atan2 and the transcendental-free paths so the two
+    gradient definitions cannot drift."""
     import jax
 
     p = _clip_conv_5tap(patches, C.PATCH_BLUR_KERNEL)
@@ -119,10 +122,17 @@ def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     pe = jnp.pad(p, pads + [(1, 1), (1, 1)], mode="edge")
     sl = lambda a, o, ax: jax.lax.slice_in_dim(a, o, o + n, axis=ax)
     # gx = p[y, x-1] - p[y, x+1]; gy = p[y+1, x] - p[y-1, x]
-    gx = sl(sl(pe, 1, p.ndim - 2), 0, p.ndim - 1) - sl(sl(pe, 1, p.ndim - 2), 2, p.ndim - 1)
-    gy = sl(sl(pe, 2, p.ndim - 2), 1, p.ndim - 1) - sl(sl(pe, 0, p.ndim - 2), 1, p.ndim - 1)
-    eps = 1e-8
-    mag = jnp.sqrt(jnp.sqrt(gx * gx + gy * gy + eps))
+    gx = (sl(sl(pe, 1, p.ndim - 2), 0, p.ndim - 1)
+          - sl(sl(pe, 1, p.ndim - 2), 2, p.ndim - 1))
+    gy = (sl(sl(pe, 2, p.ndim - 2), 1, p.ndim - 1)
+          - sl(sl(pe, 0, p.ndim - 2), 1, p.ndim - 1))
+    return gx, gy
+
+
+def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Blur + negated gradients + (mag^(1/2), -atan2) for [K, 32, 32]."""
+    gx, gy = _blurred_gradients(patches)
+    mag = jnp.sqrt(jnp.sqrt(gx * gx + gy * gy + 1e-8))
     ang = -jnp.arctan2(gy, gx)
     return mag, ang
 
@@ -131,22 +141,17 @@ def _patches_mag_cos_sin(patches: jnp.ndarray):
     """(mag, cos(ang), sin(ang)) for ang = -atan2(gy, gx), without any
     transcendental: cos = gx/r, sin = -gy/r, r = sqrt(gx^2 + gy^2).
     Zero gradient keeps the atan2(0, 0) = 0 convention: (cos, sin) =
-    (1, 0).  Bitwise-near patches_mag_angle -> cos/sin (diff ~1 ulp)."""
+    (1, 0).  Bitwise-near patches_mag_angle -> cos/sin (diff ~1 ulp).
+    rsqrt runs on raw q (no lower cap — a cap would shrink the unit
+    vector for tiny nonzero gradients); q = 0 (incl. TPU-flushed
+    denormals) takes the where branch, so the rsqrt(0) = inf lanes are
+    never selected."""
     import jax
 
-    p = _clip_conv_5tap(patches, C.PATCH_BLUR_KERNEL)
-    n = C.PATCH_SIZE
-    pads = [(0, 0)] * (p.ndim - 2)
-    pe = jnp.pad(p, pads + [(1, 1), (1, 1)], mode="edge")
-    sl = lambda a, o, ax: jax.lax.slice_in_dim(a, o, o + n, axis=ax)
-    gx = (sl(sl(pe, 1, p.ndim - 2), 0, p.ndim - 1)
-          - sl(sl(pe, 1, p.ndim - 2), 2, p.ndim - 1))
-    gy = (sl(sl(pe, 2, p.ndim - 2), 1, p.ndim - 1)
-          - sl(sl(pe, 0, p.ndim - 2), 1, p.ndim - 1))
-    eps = 1e-8
+    gx, gy = _blurred_gradients(patches)
     q = gx * gx + gy * gy
-    mag = jnp.sqrt(jnp.sqrt(q + eps))
-    inv = jax.lax.rsqrt(jnp.maximum(q, 1e-30))
+    mag = jnp.sqrt(jnp.sqrt(q + 1e-8))
+    inv = jax.lax.rsqrt(q)
     zero = q == 0.0
     c1 = jnp.where(zero, 1.0, gx * inv)
     s1 = jnp.where(zero, 0.0, -gy * inv)

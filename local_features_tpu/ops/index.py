@@ -137,7 +137,14 @@ class DescriptorIndex:
 
     @classmethod
     def load(cls, path) -> "DescriptorIndex":
-        z = np.load(path)
+        import os
+
+        # np.savez appends ".npz" to suffixless paths; mirror that here
+        # so save(p)/load(p) round-trips for any p
+        p = os.fspath(path)
+        if not os.path.exists(p) and not p.endswith(".npz"):
+            p += ".npz"
+        z = np.load(p)
         idx = cls(dim=int(z["dim"]), capacity=max(64, z["bank"].shape[0]),
                   ratio=float(z["ratio"]))
         if z["bank"].shape[0]:

@@ -208,7 +208,7 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
     By = (rows[None, None, :] == (y_local[:, None] + r15[None, :])[..., None]
           ).astype(jnp.float32)                             # [F, 15, 24]
     Bx = (cols[None, :, None] == (x_local[:, None] + r15[None, :])[:, None, :]
-          ).astype(jnp.float32)                             # [F, 256, 15]
+          ).astype(jnp.float32)                             # [F, 128, 15]
     patch = jnp.einsum("fri,fij,fjc->frc", By, win, Bx,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)  # [F, 15, 15]

@@ -143,8 +143,11 @@ def _clamp_dma(shape, plane, oy, ox, win_h, win_w):
     """
     P, Hc, Wc = shape[-3:]
     plane = jnp.clip(plane, 0, P - 1)
-    oy = jnp.clip(oy, 0, ((Hc - win_h) // 8) * 8)
-    ox = jnp.clip(ox, 0, ((Wc - win_w) // 128) * 128)
+    # max(., 0): a canvas smaller than the window would otherwise give a
+    # NEGATIVE upper bound, and clip(lo=0, hi<0) returns hi — reopening
+    # the OOB hole this clamp exists to close
+    oy = jnp.clip(oy, 0, max(((Hc - win_h) // 8) * 8, 0))
+    ox = jnp.clip(ox, 0, max(((Wc - win_w) // 128) * 128, 0))
     return plane, oy, ox
 
 

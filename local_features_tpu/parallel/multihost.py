@@ -94,7 +94,7 @@ def hybrid_mesh(
     axis_names = tuple(dcn_axes) + tuple(ici_axes)
 
     if n_proc > 1:
-        dcn_shape = [dcn_axes[a] if a in dcn_axes else 1 for a in dcn_axes]
+        dcn_shape = list(dcn_axes.values())
         if not dcn_shape:
             dcn_axes = {"dcn": n_proc}
             dcn_shape = [n_proc]
@@ -112,7 +112,7 @@ def hybrid_mesh(
         return Mesh(devices, axis_names)
 
     # single process: plain mesh, dcn axes (if named) have size 1
-    shape = [dcn_axes.get(a, 1) for a in dcn_axes] + ici_shape
+    shape = list(dcn_axes.values()) + ici_shape
     devices = mesh_utils.create_device_mesh(shape)
     return Mesh(devices, axis_names)
 

@@ -88,3 +88,21 @@ def test_save_load_roundtrip(tmp_path):
     m1, m2 = idx.search(bank[:9]), idx2.search(bank[:9])
     np.testing.assert_array_equal(np.asarray(m1.indices),
                                   np.asarray(m2.indices))
+
+
+def test_save_load_suffixless_path(tmp_path):
+    """np.savez appends .npz to suffixless paths; load must follow."""
+    import numpy as np
+    from local_features_tpu.ops.index import DescriptorIndex
+
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((10, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    idx = DescriptorIndex()
+    idx.add(d)
+    p = tmp_path / "bank"  # no .npz suffix
+    idx.save(p)
+    idx2 = DescriptorIndex.load(p)
+    assert len(idx2) == 10
+    m = idx2.search(d)
+    assert int(np.asarray(m.mask).sum()) == 10
