@@ -79,8 +79,15 @@ def reconstruct_long_sequence(
     global_ba_iters: int = 15,
     seed: int = 0,
     engine: LocalFeatures | None = None,
+    loop_closure: bool = False,
+    loop_kwargs: dict | None = None,
 ) -> OdometryResult:
-    """Windowed odometry over an ordered [F, H, W] frame sequence."""
+    """Windowed odometry over an ordered [F, H, W] frame sequence.
+
+    loop_closure=True runs descriptor-index revisit detection
+    (sfm/loops.py) and adds verified loop edges to the global pose
+    graph — drift correction for trajectories that revisit.
+    """
     F = frames.shape[0]
     if F <= window:
         rec = reconstruct_sequence(frames, intr, max_features=max_features,
@@ -159,10 +166,22 @@ def reconstruct_long_sequence(
     R_glob = np.asarray(graph.R)
     t_glob = np.asarray(graph.t)
 
+    extra_matches = None
+    if loop_closure:
+        # verified revisits fuse into the global BA's tracks (NOT the
+        # pose graph — see sfm/loops.py on why monocular loop edges with
+        # borrowed translation scale make things worse)
+        from .loops import detect_loop_closures
+
+        loops = detect_loop_closures(feats, intr, seed=seed,
+                                     **(loop_kwargs or {}))
+        extra_matches = [(e.i, e.j, e.matches) for e in loops]
+
     if global_ba_iters > 0:
         # global refinement: full-sequence tracks, multi-view midpoint
         # triangulation from the stitched poses, one joint LM BA
-        uv, mask = build_observations(feats, all_matches, min_track_len=2)
+        uv, mask = build_observations(feats, all_matches, min_track_len=2,
+                                      extra_matches=extra_matches)
         intr_j = jnp.asarray(intr, jnp.float32)
         x_norm = geo.normalize_points(jnp.asarray(uv), intr_j)
         X0 = triangulate_multiview(jnp.asarray(R_glob), jnp.asarray(t_glob),

@@ -43,9 +43,12 @@ def _match_pair(desc_a, desc_b, ratio=0.8):
     return np.stack([np.flatnonzero(ok), idx[ok]], axis=1)  # [M, 2]
 
 
-def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int]):
+def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int],
+                  extra_matches=None):
     """Union-find over (frame, kp) nodes chained by consecutive matches.
 
+    `extra_matches`: optional [(frame_a, frame_b, matches [M, 2])] —
+    non-consecutive links (loop closures) fused into the same tracks.
     Returns tracks: list of {frame: kp_idx} dicts with >= 2 observations.
     """
     parent: dict = {}
@@ -61,24 +64,31 @@ def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int]):
         if ra != rb:
             parent[ra] = rb
 
-    for f, matches in enumerate(pair_matches):
+    all_edges = [(f, f + 1, matches)
+                 for f, matches in enumerate(pair_matches)]
+    all_edges += [tuple(e) for e in (extra_matches or [])]
+    for a, b, matches in all_edges:
         for i, j in matches:
-            union((f, int(i)), (f + 1, int(j)))
+            union((a, int(i)), (b, int(j)))
 
     groups: dict = {}
-    for f, matches in enumerate(pair_matches):
+    for a, b, matches in all_edges:
         for i, j in matches:
-            for node in ((f, int(i)), (f + 1, int(j))):
+            for node in ((a, int(i)), (b, int(j))):
                 groups.setdefault(find(node), {})[node[0]] = node[1]
 
     return [g for g in groups.values() if len(g) >= 2]
 
 
-def build_observations(feats, pair_matches, min_track_len=2):
+def build_observations(feats, pair_matches, min_track_len=2,
+                       extra_matches=None):
     """(uv [F, P, 2], mask [F, P]) from per-frame features + consecutive
-    pair matches, via union-find track building."""
+    pair matches (+ optional loop-closure matches), via union-find
+    track building."""
     F = len(feats)
-    tracks = [t for t in _build_tracks(pair_matches, [len(ft) for ft in feats])
+    tracks = [t for t in _build_tracks(pair_matches,
+                                       [len(ft) for ft in feats],
+                                       extra_matches=extra_matches)
               if len(t) >= min_track_len]
     P = len(tracks)
     uv = np.zeros((F, P, 2), np.float32)
@@ -140,6 +150,9 @@ def reconstruct_sequence(
     ts = [np.zeros(3, dtype=np.float32)]
     key = jax.random.PRNGKey(seed)
     X_est = np.full((P, 3), np.nan, np.float32)  # in world frame
+    prev_R_rel = np.eye(3, dtype=np.float32)
+    prev_step = None          # previous |t_rel * scale|
+    prev_t_dir = None
     for f in range(F - 1):
         both = mask[f] & mask[f + 1]
         key, sub = jax.random.split(key)
@@ -149,6 +162,15 @@ def reconstruct_sequence(
         R_rel = np.asarray(res.R)
         t_rel = np.asarray(res.t)
         inl = np.asarray(res.inliers)
+        # constant-velocity fallback: a pair with too few verified
+        # correspondences produces an arbitrary pose (one 13-point pair
+        # with a 75-deg t error was enough to flip a whole corridor
+        # reconstruction); reuse the previous relative motion instead
+        # and let the bundle adjustment refine it
+        weak = int(res.n_inliers) < 12 and f > 0
+        if weak and prev_t_dir is not None:
+            R_rel = prev_R_rel
+            t_rel = prev_t_dir
 
         # triangulate inlier tracks in frame f's camera frame
         Xc = np.asarray(triangulate(
@@ -172,7 +194,20 @@ def reconstruct_sequence(
             else:
                 scale = 1.0
 
+        # scale sanity: the median-of-ratios estimate over a thin track
+        # overlap can spike; clamp each step's length to [1/3, 3]x the
+        # previous step (video prior), which keeps one bad link from
+        # poisoning every later pose in the chain
+        if prev_step is not None and np.isfinite(prev_step) and prev_step > 0:
+            step_len = abs(scale) * float(np.linalg.norm(t_rel))
+            lo, hi = prev_step / 3.0, prev_step * 3.0
+            if step_len < lo or step_len > hi:
+                scale = float(np.clip(step_len, lo, hi)) / max(
+                    float(np.linalg.norm(t_rel)), 1e-9) * np.sign(scale or 1.0)
         t_rel = t_rel * scale
+        prev_R_rel = R_rel
+        prev_t_dir = t_rel / max(float(np.linalg.norm(t_rel)), 1e-9)
+        prev_step = float(np.linalg.norm(t_rel))
         R_next = R_rel @ Rs[f]
         t_next = R_rel @ ts[f] + t_rel
         Rs.append(R_next.astype(np.float32))

@@ -196,6 +196,50 @@ def refine_pose_sampson(R, t, x1, x2, w, n_iters: int = 10,
     return R, t
 
 
+def _translation_only_E(x1, x2, mask, key, inlier_threshold,
+                        n_hypotheses: int = 128):
+    """Robust E = [t]x for the best R=I translation.
+
+    x2^T [t]x x1 = 0 is LINEAR in t (t ^ (x2 x x1) = 0): a 2-point
+    minimal sample gives t = C_a x C_b, so its own mini-RANSAC is far
+    more outlier-robust than the 8-point one (clean-sample probability
+    ~(1-e)^2 vs (1-e)^8), followed by a weighted LS refit (smallest
+    eigenvector of the inlier cross-product scatter).
+
+    The bas-relief antidote: at video-like small rotations with shallow
+    depth variation and pixel noise, the 8-point estimate trades true
+    lateral translation for a few degrees of spurious rotation (t flips
+    toward z, measured ~80 deg off); the translation-only fit has no
+    rotation to hide in and recovers the direction to ~1-2 deg on the
+    same data."""
+    wm = mask.astype(jnp.float32)
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    C = jnp.cross(h2, h1)                                # [N, 3]
+    N = x1.shape[0]
+
+    def one(k):
+        g = jax.random.gumbel(k, (N,)) + jnp.where(mask, 0.0, -1e9)
+        _, idx = jax.lax.top_k(g, 2)
+        t = jnp.cross(C[idx[0]], C[idx[1]])
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        d = sampson_distance(hat_t(t), x1, x2)
+        return t, jnp.sum(jnp.maximum(1.0 - d / inlier_threshold, 0.0) * wm)
+
+    ts, scores = jax.vmap(one)(jax.random.split(key, n_hypotheses))
+    t0 = ts[jnp.argmax(scores)]
+    # weighted LS refit on the winner's inliers
+    inl = ((sampson_distance(hat_t(t0), x1, x2) < inlier_threshold)
+           & mask).astype(jnp.float32)
+    Cw = C * inl[:, None]
+    _, vecs = jnp.linalg.eigh(Cw.T @ Cw)
+    return hat_t(vecs[:, 0])
+
+
+def _rotation_angle(R):
+    return jnp.arccos(jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0))
+
+
 def estimate_relative_pose(
     x1: jnp.ndarray,
     x2: jnp.ndarray,
@@ -203,12 +247,29 @@ def estimate_relative_pose(
     key: jax.Array,
     n_hypotheses: int = 256,
     inlier_threshold: float = 1e-5,
+    rotation_prior: float = 0.0,
+    adaptive_threshold: bool = False,
 ) -> TwoViewResult:
     """RANSAC essential-matrix estimation from normalized correspondences.
 
     x1, x2: [N, 2]; mask: [N] valid correspondences.  `inlier_threshold`
     is on squared Sampson distance in normalized coords.
     Fixed-shape: `n_hypotheses` minimal samples evaluated in parallel.
+
+    `rotation_prior` breaks bas-relief ties: candidate selection
+    maximizes MSAC score minus rotation_prior * rotation angle (rad).
+    Statistically tied candidates (the lateral-baseline ambiguity) then
+    resolve toward the smaller rotation — correct for consecutive video
+    frames and revisit verification alike; a genuinely rotating pair's
+    correct candidate outscores the tie-break margin by far.
+    `adaptive_threshold` raises the inlier gate to 10x the masked median
+    Sampson distance when the fixed threshold sits below the noise
+    floor.  Both default OFF: they measurably fix the lateral-baseline
+    + pixel-noise regime (t flipped ~80 deg -> <5 deg in the unit
+    tests), but they also perturb inlier sets enough to shift the
+    downstream monocular scale-chain/BA basin on sequences tuned
+    against the legacy behavior — callers opt in where the regime is
+    known (loop verification does).
     """
     N = x1.shape[0]
     wm = mask.astype(jnp.float32)
@@ -227,6 +288,17 @@ def estimate_relative_pose(
     Es, scores = jax.vmap(one_hypothesis)(keys)
     best = jnp.argmax(scores)
     E0 = Es[best]
+
+    # noise-adaptive threshold: with real pixel noise the fixed
+    # threshold can sit BELOW the inlier Sampson floor, starving MSAC of
+    # support and making selection a coin flip.  The masked median of
+    # the best hypothesis' distances tracks the inlier noise level
+    # (robust to <50% outliers); 10x median ~ a 4.7-sigma gate for
+    # half-normal residuals.  Clean data keeps the original threshold.
+    if adaptive_threshold:
+        d0 = sampson_distance(E0, x1, x2)
+        med = jnp.nanmedian(jnp.where(mask, d0, jnp.nan))
+        inlier_threshold = jnp.maximum(inlier_threshold, 10.0 * med)
 
     def msac_score(E):
         """Truncated-quadratic (MSAC) score — higher is better."""
@@ -248,8 +320,21 @@ def estimate_relative_pose(
     R2, t2 = refine_pose_sampson(R1, t1, x1, x2, inl1)
     E2 = hat_t(t2) @ R2
 
-    cands = jnp.stack([E0, E1, E2])
+    if rotation_prior > 0.0:
+        key, sub_t = jax.random.split(key)
+        E3 = _translation_only_E(x1, x2, mask, sub_t, inlier_threshold)
+        cands = jnp.stack([E0, E1, E2, E3])
+    else:
+        cands = jnp.stack([E0, E1, E2])
     cand_scores = jax.vmap(msac_score)(cands)
+    if rotation_prior > 0.0:
+        def cand_rot(E_c):
+            d_c = sampson_distance(E_c, x1, x2)
+            w_c = ((d_c < inlier_threshold) & mask).astype(jnp.float32)
+            R_c, _ = _recover_pose(E_c, x1, x2, w_c)
+            return _rotation_angle(R_c)
+
+        cand_scores = cand_scores - rotation_prior * jax.vmap(cand_rot)(cands)
     ci = jnp.argmax(cand_scores)
     E = cands[ci]
 

@@ -184,3 +184,21 @@ def corridor_sequence(
         for f in range(n_frames)
     ])
     return frames, R_gt, t_gt, intr, world
+
+
+def loop_trajectory(n_frames: int, rx: float = 0.8,
+                    ry: float = 0.5) -> tuple[np.ndarray, np.ndarray]:
+    """Closed front-facing ellipse circuit: the camera translates around
+    a loop while always looking at the scene, so the last frames revisit
+    the first frames' viewpoints with healthy baselines everywhere (no
+    turnaround degeneracy) — the loop-closure test bed (no reference
+    counterpart; BASELINE config 4 drift-correction scope)."""
+    Rs, ts = [], []
+    R = np.eye(3, dtype=np.float32)
+    for f in range(n_frames):
+        a = 2.0 * np.pi * f / n_frames      # f = n_frames would close it
+        C = np.array([rx * np.sin(a), ry * (1.0 - np.cos(a)), 0.0],
+                     dtype=np.float32)
+        Rs.append(R)
+        ts.append(-R @ C)
+    return np.stack(Rs), np.stack(ts)

@@ -24,3 +24,118 @@ def test_long_sequence_odometry():
     extent = float(np.linalg.norm(cg - cg.mean(0), axis=1).max())
     # north-star bound: ATE RMSE within 5% of the trajectory
     assert ate < 0.05 * extent, (ate, extent)
+
+
+@pytest.mark.slow
+def test_loop_closure_detection_and_odometry():
+    """Closed-circuit trajectory: descriptor-index retrieval must find
+    the revisit, geometric verification must recover the true relative
+    pose (checked against ground truth), and loop-closed odometry must
+    run end-to-end.
+
+    (ATE improvement is NOT asserted: on weak-parallax synthetic
+    circuits the windowed monocular reconstruction carries per-step
+    scale noise that dominates ATE regardless of loop constraints —
+    see sfm/loops.py NOTE.)
+    """
+    from local_features_tpu.api import LocalFeatures
+    from local_features_tpu.sfm.loops import detect_loop_closures
+    from local_features_tpu.utils.synth import (loop_trajectory,
+                                                make_sprite_world,
+                                                render_frame)
+
+    rng = np.random.default_rng(7)
+    F, H, W = 18, 240, 320
+    intr = np.array([300.0, 300.0, W / 2, H / 2], np.float32)
+    world = make_sprite_world(rng, n_points=400, extent=6.0)
+    R_gt, t_gt = loop_trajectory(F, rx=1.0, ry=0.6)
+    frames = np.stack([render_frame(world, R_gt[f], t_gt[f], intr, H, W)
+                       for f in range(F)])
+
+    lf = LocalFeatures(max_features=500, n_scales=4)
+    feats = lf.detect_sequence(frames, 500)
+    loops = detect_loop_closures(feats, intr, min_separation=8, seed=1)
+    assert loops, "revisit not detected"
+    assert all(e.j - e.i >= 8 for e in loops)
+
+    # verified edge geometry matches ground truth
+    cg = np.einsum("cji,cj->ci", R_gt, -t_gt)
+    for e in loops:
+        R_rel_gt = R_gt[e.j] @ R_gt[e.i].T
+        r_err = np.degrees(np.arccos(np.clip(
+            (np.trace(e.R_rel.T @ R_rel_gt) - 1) / 2, -1, 1)))
+        t_gt_rel = R_gt[e.j] @ (cg[e.i] - cg[e.j])
+        t_err = np.degrees(np.arccos(np.clip(
+            abs(e.t_rel @ (t_gt_rel / np.linalg.norm(t_gt_rel))), 0, 1)))
+        assert r_err < 5.0, (e.i, e.j, r_err)
+        assert t_err < 10.0, (e.i, e.j, t_err)
+        assert e.n_inliers >= 20
+
+    # integration smoke: loop-closed odometry runs and stays finite
+    res = reconstruct_long_sequence(frames, intr, window=6, overlap=3,
+                                    max_features=500, seed=1, engine=lf,
+                                    loop_closure=True)
+    assert np.isfinite(res.camera_centers).all()
+
+
+def test_relative_pose_lateral_bas_relief():
+    """Small lateral baseline + pixel noise + outliers: the regime where
+    the plain 8-point estimate flips t toward the optical axis (~80 deg
+    off).  The translation-only candidate + adaptive threshold +
+    rotation prior must recover the direction."""
+    import jax
+    from local_features_tpu.sfm.two_view import estimate_relative_pose
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        N = 45
+        X = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                      rng.uniform(2.5, 5.0, N)], axis=1)
+        t = np.array([-0.274, -0.03, 0.0])
+        x1 = X[:, :2] / X[:, 2:3]
+        x2 = (X + t)[:, :2] / (X + t)[:, 2:3]
+        x1 += rng.normal(0, 1.5 / 400, x1.shape)
+        x2 += rng.normal(0, 1.5 / 400, x2.shape)
+        idx = rng.choice(N, 8, replace=False)
+        x2[idx] = rng.uniform(-0.4, 0.4, (8, 2))
+        res = estimate_relative_pose(
+            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
+            jnp.ones(N, bool), jax.random.PRNGKey(seed),
+            rotation_prior=10.0, adaptive_threshold=True)
+        td = np.array(res.t)
+        td /= np.linalg.norm(td)
+        err = np.degrees(np.arccos(np.clip(
+            abs(float(td @ (t / np.linalg.norm(t)))), 0, 1)))
+        assert err < 20.0, (seed, err)
+
+
+def test_relative_pose_rotating_pair_unaffected():
+    """The rotation prior must NOT pull genuinely rotating pairs toward
+    identity: an 11-degree yaw with outliers stays accurate."""
+    import jax
+    from local_features_tpu.sfm.two_view import estimate_relative_pose
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        N = 60
+        X = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                      rng.uniform(2.5, 5.0, N)], axis=1)
+        ang = 0.2
+        R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]])
+        t = np.array([-0.3, 0.0, 0.1])
+        x1 = X[:, :2] / X[:, 2:3]
+        Xc2 = X @ R.T + t
+        x2 = Xc2[:, :2] / Xc2[:, 2:3]
+        x1 += rng.normal(0, 1.0 / 400, x1.shape)
+        x2 += rng.normal(0, 1.0 / 400, x2.shape)
+        idx = rng.choice(N, 10, replace=False)
+        x2[idx] = rng.uniform(-0.4, 0.4, (10, 2))
+        res = estimate_relative_pose(
+            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
+            jnp.ones(N, bool), jax.random.PRNGKey(seed),
+            rotation_prior=10.0, adaptive_threshold=True)
+        Re = np.array(res.R)
+        r_err = np.degrees(np.arccos(np.clip(
+            (np.trace(Re.T @ R) - 1) / 2, -1, 1)))
+        assert r_err < 3.0, (seed, r_err)
