@@ -47,6 +47,10 @@ def main() -> int:
                     help="fx,fy,cx,cy override (TUM default: Freiburg-1)")
     ap.add_argument("--intr-file", default=None,
                     help="file with fx fy cx cy (one line)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="detect revisits via the descriptor index and "
+                    "fuse verified loop matches into the global BA "
+                    "(sfm/loops.py)")
     ap.add_argument("--save", default=None,
                     help="write estimated + gt trajectory to this npz")
     args = ap.parse_args()
@@ -76,7 +80,8 @@ def main() -> int:
     t0 = time.perf_counter()
     res = reconstruct_long_sequence(
         seq.frames, seq.intr, window=args.window, overlap=args.overlap,
-        max_features=args.max_features, seed=1)
+        max_features=args.max_features, seed=1,
+        loop_closure=args.loop_closure)
     t_rec = time.perf_counter() - t0
 
     out = {
