@@ -11,11 +11,11 @@ CPU vocabulary tree): frames stream into a global bank with a
 `min_separation`-frame delay, each new frame 2-NN-queries the bank and
 votes for past frames by matched-descriptor count.  Top-voted
 candidates are verified geometrically with the existing RANSAC
-essential-matrix estimator (two_view.estimate_relative_pose); verified
-pairs become extra pose-graph edges whose rotation + translation
-DIRECTION come from the two-view geometry and whose translation scale
-is borrowed from the current global estimate (monocular scale is not
-observable from one pair).
+essential-matrix estimator (two_view.estimate_relative_pose); the
+verified inlier MATCHES of accepted pairs are fused into the global
+bundle adjustment's tracks (see the integration NOTE at the bottom),
+and the relative pose is reported on the LoopEdge for callers that
+want graph-style constraints.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import geometry as geo
-from .two_view import estimate_relative_pose
+from .two_view import estimate_relative_pose, sampson_distance
 from ..ops.index import DescriptorIndex
 from ..ops.matching import mutual_match
 
@@ -59,9 +59,17 @@ def detect_loop_closures(
     """
     F = len(feats)
     index = DescriptorIndex(ratio=ratio)
-    owners: list[np.ndarray] = []   # bank row -> frame id (insertion order)
+    own = np.zeros(0, np.int32)     # bank row -> frame id (insertion order)
     key = jax.random.PRNGKey(seed)
     edges: list[LoopEdge] = []
+    intr_j = jnp.asarray(intr, jnp.float32)
+    # acceptance counts inliers at a FIXED pixel-calibrated gate (2.5 px
+    # Sampson), NOT the estimator's adaptive one: the adaptive gate is
+    # derived from the candidate's own residual median, which a garbage
+    # candidate inflates until everything "inlies" — it helps the
+    # estimator find the pose but must never be the verification bar
+    f_mean = 0.5 * (float(intr[0]) + float(intr[1]))
+    verify_thr = (2.5 / f_mean) ** 2
 
     for i in range(F):
         past = i - min_separation
@@ -69,10 +77,9 @@ def detect_loop_closures(
             d = np.asarray(feats[past].descriptors, np.float32)
             if len(d):
                 index.add(d)
-                owners.append(np.full(len(d), past, np.int32))
+                own = np.concatenate([own, np.full(len(d), past, np.int32)])
         if len(index) == 0:
             continue
-        own = np.concatenate(owners)
         q = np.asarray(feats[i].descriptors, np.float32)
         if not len(q):
             continue
@@ -94,7 +101,6 @@ def detect_loop_closures(
         idx = np.asarray(mm.indices)
         kj = np.stack([feats[j].x[sel], feats[j].y[sel]], axis=1)
         ki = np.stack([feats[i].x[idx[sel]], feats[i].y[idx[sel]]], axis=1)
-        intr_j = jnp.asarray(intr, jnp.float32)
         x1 = geo.normalize_points(jnp.asarray(kj, jnp.float32), intr_j)
         x2 = geo.normalize_points(jnp.asarray(ki, jnp.float32), intr_j)
         key, sub = jax.random.split(key)
@@ -104,10 +110,10 @@ def detect_loop_closures(
                                     jnp.ones(len(kj), bool), sub,
                                     rotation_prior=10.0,
                                     adaptive_threshold=True)
-        n_in = int(tv.n_inliers)
+        inl = np.asarray(sampson_distance(tv.E, x1, x2)) < verify_thr
+        n_in = int(inl.sum())
         if n_in < min_inliers:
             continue
-        inl = np.asarray(tv.inliers)
         kp_earlier = np.flatnonzero(sel)[inl]          # kp idx in frame j
         kp_later = idx[sel][inl]                       # kp idx in frame i
         edges.append(LoopEdge(

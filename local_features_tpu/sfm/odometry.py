@@ -85,8 +85,11 @@ def reconstruct_long_sequence(
     """Windowed odometry over an ordered [F, H, W] frame sequence.
 
     loop_closure=True runs descriptor-index revisit detection
-    (sfm/loops.py) and adds verified loop edges to the global pose
-    graph — drift correction for trajectories that revisit.
+    (sfm/loops.py) and fuses the verified loop MATCHES into the global
+    bundle adjustment's tracks (see sfm/loops.py integration NOTE);
+    it therefore requires global_ba_iters > 0 to have any effect.
+    `loop_kwargs` forwards to detect_loop_closures (min_separation,
+    min_votes, min_inliers, ratio, seed).
     """
     F = frames.shape[0]
     if F <= window:
@@ -167,14 +170,15 @@ def reconstruct_long_sequence(
     t_glob = np.asarray(graph.t)
 
     extra_matches = None
-    if loop_closure:
+    if loop_closure and global_ba_iters > 0:
         # verified revisits fuse into the global BA's tracks (NOT the
         # pose graph — see sfm/loops.py on why monocular loop edges with
         # borrowed translation scale make things worse)
         from .loops import detect_loop_closures
 
-        loops = detect_loop_closures(feats, intr, seed=seed,
-                                     **(loop_kwargs or {}))
+        kw = dict(loop_kwargs or {})
+        kw.setdefault("seed", seed)
+        loops = detect_loop_closures(feats, intr, **kw)
         extra_matches = [(e.i, e.j, e.matches) for e in loops]
 
     if global_ba_iters > 0:

@@ -72,12 +72,22 @@ def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int],
             union((a, int(i)), (b, int(j)))
 
     groups: dict = {}
+    conflicted: set = set()
     for a, b, matches in all_edges:
         for i, j in matches:
             for node in ((a, int(i)), (b, int(j))):
-                groups.setdefault(find(node), {})[node[0]] = node[1]
+                root = find(node)
+                g = groups.setdefault(root, {})
+                prev = g.get(node[0])
+                if prev is not None and prev != node[1]:
+                    # two different keypoints of one frame in one track:
+                    # a wrong loop-closure link merged distinct physical
+                    # points — a contradictory observation set; drop it
+                    conflicted.add(root)
+                g[node[0]] = node[1]
 
-    return [g for g in groups.values() if len(g) >= 2]
+    return [g for root, g in groups.items()
+            if len(g) >= 2 and root not in conflicted]
 
 
 def build_observations(feats, pair_matches, min_track_len=2,

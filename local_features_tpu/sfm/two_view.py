@@ -284,6 +284,12 @@ def estimate_relative_pose(
         inl = (d < inlier_threshold) & mask
         return E, jnp.sum(inl)
 
+    # key_t must be an independent stream: `split(key, 2)[1]` would
+    # collide with `split(key, n)[1]` (threefry derivation depends only
+    # on the index), handing the translation-only candidate the same
+    # randomness as hypothesis 1.  fold_in with an out-of-range tag
+    # keeps the hypothesis stream bit-identical to the legacy draws.
+    key_t = jax.random.fold_in(key, n_hypotheses)
     keys = jax.random.split(key, n_hypotheses)
     Es, scores = jax.vmap(one_hypothesis)(keys)
     best = jnp.argmax(scores)
@@ -298,6 +304,7 @@ def estimate_relative_pose(
     if adaptive_threshold:
         d0 = sampson_distance(E0, x1, x2)
         med = jnp.nanmedian(jnp.where(mask, d0, jnp.nan))
+        med = jnp.where(jnp.isfinite(med), med, 0.0)  # all-False mask
         inlier_threshold = jnp.maximum(inlier_threshold, 10.0 * med)
 
     def msac_score(E):
@@ -321,8 +328,7 @@ def estimate_relative_pose(
     E2 = hat_t(t2) @ R2
 
     if rotation_prior > 0.0:
-        key, sub_t = jax.random.split(key)
-        E3 = _translation_only_E(x1, x2, mask, sub_t, inlier_threshold)
+        E3 = _translation_only_E(x1, x2, mask, key_t, inlier_threshold)
         cands = jnp.stack([E0, E1, E2, E3])
     else:
         cands = jnp.stack([E0, E1, E2])
