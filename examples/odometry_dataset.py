@@ -51,6 +51,12 @@ def main() -> int:
                     help="detect revisits via the descriptor index and "
                     "fuse verified loop matches into the global BA "
                     "(sfm/loops.py)")
+    ap.add_argument("--loop-graph", default="tracks",
+                    choices=["tracks", "sim3"],
+                    help="sim3: also correct scale drift with the "
+                    "Sim(3) pose graph over depth-ratio loop "
+                    "measurements (sfm/sim3.py) — for slow-drift "
+                    "sequences; see reconstruct_long_sequence docstring")
     ap.add_argument("--save", default=None,
                     help="write estimated + gt trajectory to this npz")
     args = ap.parse_args()
@@ -81,7 +87,7 @@ def main() -> int:
     res = reconstruct_long_sequence(
         seq.frames, seq.intr, window=args.window, overlap=args.overlap,
         max_features=args.max_features, seed=1,
-        loop_closure=args.loop_closure)
+        loop_closure=args.loop_closure, loop_graph=args.loop_graph)
     t_rec = time.perf_counter() - t0
 
     out = {

@@ -10,12 +10,13 @@ Everything is batched, statically-shaped, jit-compatible JAX:
 - ba: Levenberg-Marquardt bundle adjustment with the Schur complement on
   dense camera systems and masked visibility
 - pose_graph: Gauss-Newton pose-graph optimization over SE(3) constraints
+- sim3: Sim(3) pose graph — scale-drift-aware monocular loop closure
 - distributed: landmark-sharded BA — per-shard point solves +
   psum-reduced camera Hessian over the mesh (ICI collectives)
 """
 
-from . import (geometry, two_view, ba, pose_graph, distributed, pipeline,
-               odometry, io, datasets)
+from . import (geometry, two_view, ba, pose_graph, sim3, distributed,
+               pipeline, odometry, io, datasets)
 
-__all__ = ["geometry", "two_view", "ba", "pose_graph", "distributed",
-           "pipeline", "odometry", "io", "datasets"]
+__all__ = ["geometry", "two_view", "ba", "pose_graph", "sim3",
+           "distributed", "pipeline", "odometry", "io", "datasets"]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import geometry as geo
-from .two_view import estimate_relative_pose, sampson_distance
+from .two_view import estimate_relative_pose, sampson_distance, triangulate
 from ..ops.index import DescriptorIndex
 from ..ops.matching import mutual_match
 
@@ -123,6 +123,98 @@ def detect_loop_closures(
     return edges
 
 
+def _local_depths(feats, intr_j, R, t, pair_matches, f, kp_ids):
+    """Depths of keypoints `kp_ids` of frame f in frame f's camera, from
+    triangulation against a CONSECUTIVE neighbor using the (drifted)
+    trajectory poses — i.e. depths at frame f's LOCAL map scale.
+
+    Returns (valid [K] bool, z [K] f32).
+    """
+    F = len(feats)
+    kp_ids = np.asarray(kp_ids, np.int64)
+    z = np.zeros(len(kp_ids), np.float32)
+    valid = np.zeros(len(kp_ids), bool)
+    # forward pair (f, f+1) keyed on column 0, else backward keyed on 1
+    for g, col in ((f + 1, 0), (f - 1, 1)) if f + 1 < F else \
+                  ((f - 1, 1),):
+        if g < 0:
+            break
+        m = pair_matches[min(f, g)]
+        lut = {int(row[col]): int(row[1 - col]) for row in m}
+        need = [k for k, kp in enumerate(kp_ids)
+                if not valid[k] and int(kp) in lut]
+        if not need:
+            continue
+        kf = kp_ids[need]
+        kg = np.array([lut[int(kp)] for kp in kf], np.int64)
+        xf = np.stack([feats[f].x[kf], feats[f].y[kf]], axis=1)
+        xg = np.stack([feats[g].x[kg], feats[g].y[kg]], axis=1)
+        nf = geo.normalize_points(jnp.asarray(xf, jnp.float32), intr_j)
+        ng = geo.normalize_points(jnp.asarray(xg, jnp.float32), intr_j)
+        X = np.asarray(triangulate(
+            jnp.asarray(R[f]), jnp.asarray(t[f]),
+            jnp.asarray(R[g]), jnp.asarray(t[g]), nf, ng))
+        zc = X @ R[f].T[:, 2] + t[f][2]           # depth in frame f
+        z[need] = zc.astype(np.float32)
+        valid[need] = zc > 1e-6
+    return valid, z
+
+
+def loop_sim3_measurements(
+    feats,
+    intr: np.ndarray,
+    R: np.ndarray,
+    t: np.ndarray,
+    pair_matches: list[np.ndarray],
+    edges: list[LoopEdge],
+    min_support: int = 8,
+) -> list[tuple]:
+    """Sim(3) measurements for verified loop edges, via depth ratios.
+
+    For a loop (a earlier, b later) the two-view pair gives depths at
+    UNIT baseline; triangulating the same keypoints against consecutive
+    neighbors with the trajectory poses gives depths at each frame's
+    LOCAL map scale.  With B the true metric baseline and s_f frame f's
+    local-scale drift factor, median(z_local/z_pair) measures s_f * B at
+    each end, so the ratio is the relative scale s_b/s_a and
+    (s_b * B) * t_unit is the loop translation in b's local units —
+    exactly the S_b o S_a^{-1} measurement sim3.chain_graph expects
+    (tested against injected drift in tests/test_sim3.py).
+
+    Returns [(a, b, s_rel, R_rel [3,3], t_rel [3])], skipping edges with
+    fewer than `min_support` triangulable keypoints at either end.
+    """
+    intr_j = jnp.asarray(intr, jnp.float32)
+    out = []
+    for e in edges:
+        kp_a, kp_b = e.matches[:, 0], e.matches[:, 1]
+        xa = np.stack([feats[e.i].x[kp_a], feats[e.i].y[kp_a]], axis=1)
+        xb = np.stack([feats[e.j].x[kp_b], feats[e.j].y[kp_b]], axis=1)
+        na = geo.normalize_points(jnp.asarray(xa, jnp.float32), intr_j)
+        nb = geo.normalize_points(jnp.asarray(xb, jnp.float32), intr_j)
+        Xp = np.asarray(triangulate(
+            jnp.eye(3), jnp.zeros(3),
+            jnp.asarray(e.R_rel), jnp.asarray(e.t_rel), na, nb))
+        z_pair_a = Xp[:, 2]
+        z_pair_b = Xp @ e.R_rel.T[:, 2] + e.t_rel[2]
+
+        va, z_loc_a = _local_depths(feats, intr_j, R, t, pair_matches,
+                                    e.i, kp_a)
+        vb, z_loc_b = _local_depths(feats, intr_j, R, t, pair_matches,
+                                    e.j, kp_b)
+        ok_a = va & (z_pair_a > 1e-6)
+        ok_b = vb & (z_pair_b > 1e-6)
+        if ok_a.sum() < min_support or ok_b.sum() < min_support:
+            continue
+        scale_a = float(np.median(z_loc_a[ok_a] / z_pair_a[ok_a]))
+        scale_b = float(np.median(z_loc_b[ok_b] / z_pair_b[ok_b]))
+        if scale_a <= 1e-9 or scale_b <= 1e-9:
+            continue
+        out.append((e.i, e.j, scale_b / scale_a, e.R_rel,
+                    scale_b * e.t_rel))
+    return out
+
+
 # NOTE on integration: verified loop matches are fused as BA TRACKS
 # (build_observations extra_matches), not as pose-graph edges.
 # Measured findings behind that choice (synthetic circuits, 18 frames):
@@ -138,3 +230,14 @@ def detect_loop_closures(
 #    BA basin is dominated by the same scale noise, so ATE gains are
 #    not guaranteed.  Detection + verification accuracy ARE guaranteed
 #    and tested (tests/test_odometry.py).
+#  - the Sim(3) graph (sim3.py) with depth-ratio loop measurements
+#    (loop_sim3_measurements above) closes the remaining gap for DRIFT:
+#    on injected 2%/step drift it cuts ATE 390x (tests/test_sim3.py),
+#    and its real-data measurement is accurate (18-frame circuit:
+#    measured s_rel 10.7 vs ~7.4 step-length-derived truth, loop R_rel
+#    0.7 deg off).  But the same circuit's local-scale profile is
+#    per-step JITTER (1 -> 6.7 -> 14 -> 5.7 -> ... -> 7.4), which
+#    violates the graph's smooth-scale (consecutive s_rel = 1) prior
+#    and measurably distorted the chain (ATE 0.14 -> 0.46) — hence
+#    loop_graph="sim3" is opt-in in reconstruct_long_sequence, intended
+#    for slow-drift dataset sequences, not jittery circuits.

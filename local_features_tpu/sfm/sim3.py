@@ -1,0 +1,180 @@
+"""Sim(3) pose-graph optimization — scale-drift-aware loop closure.
+
+Reference counterpart: none — north-star scope (BASELINE.md config 4).
+The windowed monocular odometry's dominant error mode is per-step SCALE
+noise (see sfm/loops.py NOTE): an SE(3) pose graph cannot express "the
+map shrank between the two visits", so monocular loop closure is done
+on Sim(3) — each node carries a similarity (s, R, t) and a loop edge
+measures the relative similarity including the scale ratio between the
+two visits' local maps (Strasdat et al., "Scale Drift-Aware Large Scale
+Monocular SLAM", RSS 2010 — the approach ORB-SLAM adopted).
+
+TPU-first: residuals are batched over all edges, the Jacobian comes
+from jacfwd of the stacked [N, 7] tangent, and the damped Gauss-Newton
+loop is a lax.scan — one XLA program, same design as pose_graph.py
+(keyframe graphs are small; the dense [E*7, N*7] Jacobian is cheap).
+
+Conventions match geometry.py: a node's similarity maps WORLD points to
+FRAME points, x_frame = s * R @ x_world + t.  Tangent ordering is
+[omega (3), upsilon (3), sigma (1)] with s = exp(sigma).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import so3_exp, so3_log
+
+
+def sim3_compose(s1, R1, t1, s2, R2, t2):
+    """(s1,R1,t1) o (s2,R2,t2): apply transform 2 first, then 1."""
+    return (s1 * s2, R1 @ R2,
+            s1[..., None] * jnp.einsum("...ij,...j->...i", R1, t2) + t1)
+
+
+def sim3_inverse(s, R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    inv_s = 1.0 / s
+    return (inv_s, Rt,
+            -inv_s[..., None] * jnp.einsum("...ij,...j->...i", Rt, t))
+
+
+def sim3_retract(s, R, t, xi):
+    """First-order chart: (e^sigma, so3_exp(omega), upsilon) o (s, R, t).
+
+    A retraction, not the exact Sim(3) exponential (whose translation
+    part needs the W(sigma, omega) matrix) — any smooth chart with the
+    right derivative at 0 works for Gauss-Newton.
+    """
+    w, v, sig = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    dR = so3_exp(w)
+    return sim3_compose(jnp.exp(sig), dR, v, s, R, t)
+
+
+def sim3_log_approx(s, R, t):
+    """[so3_log(R), t, log s] — the residual chart (exact at identity)."""
+    return jnp.concatenate(
+        [so3_log(R), t, jnp.log(s)[..., None]], axis=-1)
+
+
+def sim3_apply(s, R, t, X):
+    """Apply to points: [..., 3] -> [..., 3]."""
+    return s[..., None] * jnp.einsum("...ij,...j->...i", R, X) + t
+
+
+class Sim3Graph(NamedTuple):
+    s: jnp.ndarray          # [N] node scales
+    R: jnp.ndarray          # [N, 3, 3] absolute (world -> frame)
+    t: jnp.ndarray          # [N, 3]
+    edges: jnp.ndarray      # [E, 2] i32 (i, j)
+    s_rel: jnp.ndarray      # [E] measured S_j o S_i^{-1} scale
+    R_rel: jnp.ndarray      # [E, 3, 3]
+    t_rel: jnp.ndarray      # [E, 3]
+    weight: jnp.ndarray     # [E] edge weights (0 disables an edge)
+
+
+def _edge_residual(si, Ri, ti, sj, Rj, tj, s_rel, R_rel, t_rel):
+    """log( S_rel^-1 o S_j o S_i^-1 ) in R^7."""
+    s_inv, R_inv, t_inv = sim3_inverse(si, Ri, ti)
+    s_ij, R_ij, t_ij = sim3_compose(sj, Rj, tj, s_inv, R_inv, t_inv)
+    sr_inv, Rr_inv, tr_inv = sim3_inverse(s_rel, R_rel, t_rel)
+    se, Re, te = sim3_compose(sr_inv, Rr_inv, tr_inv, s_ij, R_ij, t_ij)
+    return sim3_log_approx(se, Re, te)
+
+
+def residuals(graph: Sim3Graph, xi: jnp.ndarray) -> jnp.ndarray:
+    """[E, 7] edge residuals with per-node tangent perturbations [N, 7]."""
+    s, R, t = sim3_retract(graph.s, graph.R, graph.t, xi)
+    i = graph.edges[:, 0]
+    j = graph.edges[:, 1]
+    r = _edge_residual(s[i], R[i], t[i], s[j], R[j], t[j],
+                       graph.s_rel, graph.R_rel, graph.t_rel)
+    return r * graph.weight[:, None]
+
+
+def optimize(graph: Sim3Graph, n_iters: int = 15, lam: float = 1e-6,
+             fix_first: bool = True) -> Sim3Graph:
+    """Damped Gauss-Newton.  Fixing node 0 pins the full 7-dof gauge
+    freedom of a monocular reconstruction (global rotation, translation,
+    scale)."""
+    N = graph.R.shape[0]
+
+    def gn_step(g: Sim3Graph, _):
+        zero = jnp.zeros((N, 7))
+        J = jax.jacfwd(lambda xi: residuals(g, xi).reshape(-1))(zero)
+        J = J.reshape(-1, N * 7)                       # [E*7, N*7]
+        r = residuals(g, zero).reshape(-1)
+        H = J.T @ J + lam * jnp.eye(N * 7)
+        b = -J.T @ r
+        if fix_first:
+            m = jnp.ones(N * 7).at[:7].set(0.0)
+            H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+            b = b * m
+        dxi = jnp.linalg.solve(H, b).reshape(N, 7)
+        s, R, t = sim3_retract(g.s, g.R, g.t, dxi)
+        g = g._replace(s=s, R=R, t=t)
+        return g, jnp.sum(r * r)
+
+    graph, _ = jax.lax.scan(gn_step, graph, None, length=n_iters)
+    return graph
+
+
+def total_error(graph: Sim3Graph) -> jnp.ndarray:
+    r = residuals(graph, jnp.zeros((graph.R.shape[0], 7)))
+    return jnp.sum(r * r)
+
+
+def chain_graph(
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    loop_edges: list | None = None,
+    loop_weight: float = 1.0,
+) -> Sim3Graph:
+    """Build a Sim(3) graph from an estimated SE(3) trajectory.
+
+    Consecutive edges are the trajectory's own relative poses with
+    s_rel = 1 (the chain believes its local scale); each loop edge is
+    (i, j, s_rel, R_rel [3,3], t_rel [3]) measuring
+    S_j o S_i^{-1} — from `loop_sim3_measurement` or ground truth.
+    Node scales start at 1.
+    """
+    R = jnp.asarray(R, jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    N = R.shape[0]
+    idx = jnp.arange(N - 1)
+    edges = [jnp.stack([idx, idx + 1], axis=1)]
+    Ri, ti = R[:-1], t[:-1]
+    Rj, tj = R[1:], t[1:]
+    Rt = jnp.swapaxes(Ri, -1, -2)
+    R_rel = [Rj @ Rt]
+    t_rel = [tj - jnp.einsum("eij,ej->ei", Rj @ Rt, ti)]
+    s_rel = [jnp.ones(N - 1)]
+    weight = [jnp.ones(N - 1)]
+    if loop_edges:
+        li = jnp.asarray([[e[0], e[1]] for e in loop_edges], jnp.int32)
+        edges.append(li)
+        s_rel.append(jnp.asarray([e[2] for e in loop_edges], jnp.float32))
+        R_rel.append(jnp.asarray([e[3] for e in loop_edges], jnp.float32))
+        t_rel.append(jnp.asarray([e[4] for e in loop_edges], jnp.float32))
+        weight.append(jnp.full(len(loop_edges), loop_weight))
+    return Sim3Graph(
+        s=jnp.ones(N), R=R, t=t,
+        edges=jnp.concatenate(edges),
+        s_rel=jnp.concatenate(s_rel),
+        R_rel=jnp.concatenate(R_rel),
+        t_rel=jnp.concatenate(t_rel),
+        weight=jnp.concatenate(weight),
+    )
+
+
+def corrected_trajectory(graph: Sim3Graph):
+    """SE(3) trajectory (R [N,3,3], t [N,3]) from an optimized graph.
+
+    The optimized node similarity maps world to frame at the NODE's
+    local scale; dividing the translation by s re-expresses every pose
+    at the (gauge-fixed) global scale: x_frame = R x_world + t / s.
+    """
+    return graph.R, graph.t / graph.s[:, None]

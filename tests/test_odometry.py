@@ -71,10 +71,11 @@ def test_loop_closure_detection_and_odometry():
         assert t_err < 10.0, (e.i, e.j, t_err)
         assert e.n_inliers >= 20
 
-    # integration smoke: loop-closed odometry runs and stays finite
+    # integration smoke: loop-closed odometry (with the full Sim(3)
+    # measurement + graph path) runs and stays finite
     res = reconstruct_long_sequence(frames, intr, window=6, overlap=3,
                                     max_features=500, seed=1, engine=lf,
-                                    loop_closure=True)
+                                    loop_closure=True, loop_graph="sim3")
     assert np.isfinite(res.camera_centers).all()
 
 

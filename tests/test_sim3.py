@@ -1,0 +1,140 @@
+"""Sim(3) pose-graph optimization: ops algebra + scale-drift-aware
+loop closure on a synthetic drifted trajectory."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from local_features_tpu.sfm import sim3
+from local_features_tpu.sfm.geometry import so3_exp
+from local_features_tpu.sfm.pose_graph import absolute_trajectory_error
+
+
+def _rand_sim3(rng):
+    s = float(np.exp(rng.normal(0, 0.3)))
+    R = np.asarray(so3_exp(jnp.asarray(rng.normal(0, 0.5, 3),
+                                       jnp.float32)))
+    t = rng.normal(0, 1.0, 3).astype(np.float32)
+    return jnp.asarray(s), jnp.asarray(R), jnp.asarray(t)
+
+
+def test_sim3_compose_inverse_identity():
+    rng = np.random.default_rng(0)
+    s, R, t = _rand_sim3(rng)
+    si, Ri, ti = sim3.sim3_inverse(s, R, t)
+    se, Re, te = sim3.sim3_compose(s, R, t, si, Ri, ti)
+    assert abs(float(se) - 1.0) < 1e-6
+    np.testing.assert_allclose(np.asarray(Re), np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(te), 0.0, atol=1e-6)
+
+
+def test_sim3_apply_matches_compose():
+    """(S1 o S2)(x) == S1(S2(x))"""
+    rng = np.random.default_rng(1)
+    s1, R1, t1 = _rand_sim3(rng)
+    s2, R2, t2 = _rand_sim3(rng)
+    X = jnp.asarray(rng.normal(0, 1, (5, 3)), jnp.float32)
+    sc, Rc, tc = sim3.sim3_compose(s1, R1, t1, s2, R2, t2)
+    lhs = sim3.sim3_apply(sc, Rc, tc, X)
+    rhs = sim3.sim3_apply(s1, R1, t1, sim3.sim3_apply(s2, R2, t2, X))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sim3_log_retract_roundtrip():
+    """log(retract(xi, Id)) == xi for the shared first-order chart."""
+    rng = np.random.default_rng(2)
+    xi = jnp.asarray(rng.normal(0, 0.2, 7), jnp.float32)
+    s, R, t = sim3.sim3_retract(
+        jnp.asarray(1.0), jnp.eye(3), jnp.zeros(3), xi)
+    back = sim3.sim3_log_approx(s, R, t)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xi),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _circle_gt(N=24, radius=3.0):
+    """Ground-truth loop: camera circling the origin, facing inward."""
+    R, t = [], []
+    for k in range(N):
+        a = 2 * np.pi * k / N
+        c = np.array([radius * np.cos(a), 0.0, radius * np.sin(a)])
+        # world->frame rotation: camera z toward origin, y down
+        z = -c / np.linalg.norm(c)
+        y = np.array([0.0, 1.0, 0.0])
+        x = np.cross(y, z)
+        Rk = np.stack([x, y, z])            # rows = camera axes
+        R.append(Rk)
+        t.append(-Rk @ c)
+    return np.stack(R).astype(np.float32), np.stack(t).astype(np.float32)
+
+
+def _drifted_chain(R_gt, t_gt, drift_per_step):
+    """Integrate GT relative poses whose translation magnitudes carry
+    cumulative multiplicative scale drift — the monocular error mode."""
+    N = len(R_gt)
+    R = [R_gt[0]]
+    t = [t_gt[0]]
+    scale = 1.0
+    for k in range(N - 1):
+        R_rel = R_gt[k + 1] @ R_gt[k].T
+        t_rel = t_gt[k + 1] - R_rel @ t_gt[k]
+        scale *= drift_per_step
+        R.append(R_rel @ R[k])
+        t.append(R_rel @ t[k] + scale * t_rel)
+    return np.stack(R), np.stack(t)
+
+
+def test_sim3_graph_corrects_scale_drift():
+    """2%-per-step scale drift over 24 steps (~60% total) + one loop
+    edge: the Sim(3) graph must cut ATE by >20x; an SE(3)-style graph
+    cannot express this correction at all (it closes the loop by
+    smearing translation error and leaves every scale at 1).
+
+    The loop edge carries what a depth-ratio measurement observes:
+    the relative LOCAL-MAP scale s_j/s_i and a translation in frame
+    j's local units (see loops.py:loop_sim3_measurements)."""
+    R_gt, t_gt = _circle_gt()
+    R_dr, t_dr = _drifted_chain(R_gt, t_gt, drift_per_step=1.02)
+    c_gt = np.einsum("nji,nj->ni", R_gt, -t_gt)
+    c_dr = np.einsum("nji,nj->ni", R_dr, -t_dr)
+    ate0 = float(absolute_trajectory_error(
+        jnp.asarray(c_dr), jnp.asarray(c_gt), with_scale=True))
+
+    i, j = 0, len(R_gt) - 1
+    drift = 1.02 ** np.arange(len(R_gt))
+    R_rel = R_gt[j] @ R_gt[i].T
+    t_rel = t_gt[j] - R_rel @ t_gt[i]
+    g = sim3.chain_graph(
+        R_dr, t_dr,
+        loop_edges=[(i, j, drift[j] / drift[i], R_rel,
+                     drift[j] * t_rel)],
+        loop_weight=3.0)
+    g_opt = sim3.optimize(g, n_iters=20, lam=1e-5)
+    R_c, t_c = sim3.corrected_trajectory(g_opt)
+    c_c = np.einsum("nji,nj->ni", np.asarray(R_c), -np.asarray(t_c))
+    ate1 = float(absolute_trajectory_error(
+        jnp.asarray(c_c), jnp.asarray(c_gt), with_scale=True))
+    assert ate1 < ate0 / 20.0, (ate0, ate1)
+    # the recovered node scales must track the injected drift profile
+    s = np.asarray(g_opt.s)
+    assert abs(s[0] - 1.0) < 1e-5          # gauge fixed at node 0
+    corr = np.corrcoef(np.log(s + 1e-12), np.log(drift))[0, 1]
+    assert corr > 0.99, corr
+    assert abs(s[-1] - drift[-1]) < 0.05 * drift[-1], (s[-1], drift[-1])
+
+
+def test_sim3_graph_noise_only_stays_put():
+    """Zero drift + exact measurements: optimization must not move an
+    already-consistent trajectory."""
+    R_gt, t_gt = _circle_gt(N=12)
+    i, j = 0, 11
+    R_rel = R_gt[j] @ R_gt[i].T
+    t_rel = t_gt[j] - R_rel @ t_gt[i]
+    g = sim3.chain_graph(R_gt, t_gt,
+                         loop_edges=[(i, j, 1.0, R_rel, t_rel)])
+    err0 = float(sim3.total_error(g))
+    assert err0 < 1e-8, err0
+    g_opt = sim3.optimize(g, n_iters=5)
+    np.testing.assert_allclose(np.asarray(g_opt.t), t_gt,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_opt.s), 1.0,
+                               rtol=1e-4, atol=1e-4)
