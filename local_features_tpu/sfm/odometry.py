@@ -96,7 +96,16 @@ def reconstruct_long_sequence(
     18-frame circuit ATE 0.14 -> 0.46), hence opt-in.
     `loop_kwargs` forwards to detect_loop_closures (min_separation,
     min_votes, min_inliers, ratio, seed).
+
+    Note: sequences with F <= window are reconstructed in one window and
+    skip loop detection entirely (they are shorter than any revisit
+    separation).  Track fusion requires global_ba_iters > 0 (the BA is
+    its only consumer); with global_ba_iters=0, loop detection only
+    runs when loop_graph="sim3" can use it.
     """
+    if loop_graph not in ("tracks", "sim3"):
+        raise ValueError(f"unknown loop_graph {loop_graph!r}; "
+                         "expected 'tracks' or 'sim3'")
     F = frames.shape[0]
     if F <= window:
         rec = reconstruct_sequence(frames, intr, max_features=max_features,
@@ -176,7 +185,9 @@ def reconstruct_long_sequence(
     t_glob = np.asarray(graph.t)
 
     extra_matches = None
-    if loop_closure:
+    # skip detection when nothing will consume its result (track fusion
+    # is applied by the global BA; sim3 applies directly to the poses)
+    if loop_closure and (global_ba_iters > 0 or loop_graph == "sim3"):
         # loop correction (see docstring for the loop_graph regimes):
         # 1. loop_graph="sim3": verified revisits become relative-
         #    similarity edges (depth-ratio scale measurement, sim3.py) —
@@ -199,7 +210,8 @@ def reconstruct_long_sequence(
             if meas:
                 g = sim3.chain_graph(R_glob, t_glob, loop_edges=meas,
                                      loop_weight=3.0)
-                g = sim3.optimize(g, n_iters=15, lam=1e-5)
+                g = sim3.optimize_robust(g, n_consecutive=F - 1,
+                                         n_iters=15, lam=1e-5)
                 R_c, t_c = sim3.corrected_trajectory(g)
                 R_glob = np.asarray(R_c)
                 t_glob = np.asarray(t_c)

@@ -64,30 +64,39 @@ def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int],
         if ra != rb:
             parent[ra] = rb
 
-    all_edges = [(f, f + 1, matches)
-                 for f, matches in enumerate(pair_matches)]
-    all_edges += [tuple(e) for e in (extra_matches or [])]
-    for a, b, matches in all_edges:
+    # pass 1: consecutive matches only — mutual matching is one-to-one
+    # per pair, so these components are simple chains with at most one
+    # keypoint per frame (conflict-free by construction)
+    for a, matches in enumerate(pair_matches):
         for i, j in matches:
-            union((a, int(i)), (b, int(j)))
+            union((a, int(i)), (a + 1, int(j)))
 
     groups: dict = {}
-    conflicted: set = set()
-    for a, b, matches in all_edges:
+    for a, matches in enumerate(pair_matches):
         for i, j in matches:
-            for node in ((a, int(i)), (b, int(j))):
-                root = find(node)
-                g = groups.setdefault(root, {})
-                prev = g.get(node[0])
-                if prev is not None and prev != node[1]:
-                    # two different keypoints of one frame in one track:
-                    # a wrong loop-closure link merged distinct physical
-                    # points — a contradictory observation set; drop it
-                    conflicted.add(root)
-                g[node[0]] = node[1]
+            for node in ((a, int(i)), (a + 1, int(j))):
+                groups.setdefault(find(node), {})[node[0]] = node[1]
 
-    return [g for root, g in groups.items()
-            if len(g) >= 2 and root not in conflicted]
+    # pass 2: loop-closure links merge two chains only when their
+    # frame->kp maps agree on every shared frame; an incompatible link
+    # (a wrong loop match merging distinct physical points) is excised
+    # on its own, leaving both good chains intact
+    for a, b, matches in (extra_matches or []):
+        for i, j in matches:
+            na, nb = (a, int(i)), (b, int(j))
+            ra, rb = find(na), find(nb)
+            ga = groups.setdefault(ra, {na[0]: na[1]})
+            if ra == rb:
+                continue
+            gb = groups.setdefault(rb, {nb[0]: nb[1]})
+            if any(ga[f] != gb[f] for f in ga.keys() & gb.keys()):
+                continue
+            union(ra, rb)
+            ga.update(gb)
+            groups.pop(ra if find(ra) != ra else rb)
+            groups[find(ra)] = ga
+
+    return [g for g in groups.values() if len(g) >= 2]
 
 
 def build_observations(feats, pair_matches, min_track_len=2,

@@ -122,6 +122,62 @@ def optimize(graph: Sim3Graph, n_iters: int = 15, lam: float = 1e-6,
     return graph
 
 
+def optimize_robust(graph: Sim3Graph, n_consecutive: int,
+                    n_iters: int = 15, lam: float = 1e-6,
+                    prune_factor: float = 9.0) -> Sim3Graph:
+    """optimize() with pairwise loop-edge consensus pruning.
+
+    Assumes `graph.edges[:n_consecutive]` are the trajectory chain and
+    the rest are loop edges (chain_graph's layout).  Joint- or
+    leave-one-out residuals are mushy outlier signals (a wrong edge's
+    error smears into the solution it helped shape), so consensus is
+    scored on SINGLE-EDGE solutions: optimize the chain with each loop
+    edge alone, then measure how badly every other edge fits that
+    solution (symmetric pairwise disagreement).  Consistent edges
+    vouch for each other with near-zero disagreement; a wrong edge has
+    no partner near the consensus tightness and is disabled, after
+    which the graph is re-optimized from the original poses.  Needs
+    >= 3 loop edges for a majority (2 edges disagreeing is undecidable
+    and both are kept); a single edge is trusted — callers gate on the
+    upstream geometric verification.  Cost: k+1 optimizations for k
+    loop edges — loop edges are rare.
+    """
+    n_loops = graph.edges.shape[0] - n_consecutive
+    if n_loops >= 3:
+        def edge_sq_residual(g, k):
+            e = graph.edges[n_consecutive + k]
+            r = _edge_residual(g.s[e[0]], g.R[e[0]], g.t[e[0]],
+                               g.s[e[1]], g.R[e[1]], g.t[e[1]],
+                               graph.s_rel[n_consecutive + k],
+                               graph.R_rel[n_consecutive + k],
+                               graph.t_rel[n_consecutive + k])
+            return float(jnp.sum(r * r))
+
+        # single-edge solutions: chain + loop edge k alone
+        sols = []
+        for k in range(n_loops):
+            w = graph.weight.at[n_consecutive:].set(0.0) \
+                .at[n_consecutive + k].set(graph.weight[n_consecutive + k])
+            sols.append(optimize(graph._replace(weight=w), n_iters, lam))
+        # symmetric pairwise disagreement: how badly edge l fits edge
+        # k's solution and vice versa (measured: consistent pairs score
+        # ~1e-3 while a garbage edge scores 30-47 on the same graph)
+        D = jnp.zeros((n_loops, n_loops))
+        for k in range(n_loops):
+            for l in range(k + 1, n_loops):
+                d = edge_sq_residual(sols[k], l) + edge_sq_residual(sols[l], k)
+                D = D.at[k, l].set(d).at[l, k].set(d)
+        off = D + jnp.diag(jnp.full(n_loops, jnp.inf))
+        best = jnp.min(off)                  # tightest consistent pair
+        # an edge with NO partner near the consensus tightness is pruned
+        bad = jnp.min(off, axis=1) > prune_factor * (best + 1e-9)
+        if bool(bad.any()) and not bool(bad.all()):
+            w = graph.weight.at[n_consecutive:].set(
+                jnp.where(bad, 0.0, graph.weight[n_consecutive:]))
+            graph = graph._replace(weight=w)
+    return optimize(graph, n_iters, lam)
+
+
 def total_error(graph: Sim3Graph) -> jnp.ndarray:
     r = residuals(graph, jnp.zeros((graph.R.shape[0], 7)))
     return jnp.sum(r * r)

@@ -71,6 +71,27 @@ def test_loop_closure_detection_and_odometry():
         assert t_err < 10.0, (e.i, e.j, t_err)
         assert e.n_inliers >= 20
 
+    # Sim(3) measurement accuracy: with the GROUND-TRUTH trajectory as
+    # the pose chain there is no scale drift, so the depth-ratio
+    # measurement must read relative scale ~1 and the loop translation
+    # magnitude must match the true baseline (catches any sign/index
+    # swap in loop_sim3_measurements — scale_a/scale_b, kp_a/kp_b)
+    from local_features_tpu.sfm.loops import loop_sim3_measurements
+    from local_features_tpu.sfm.pipeline import _match_pair
+
+    all_matches = [_match_pair(feats[f].descriptors,
+                               feats[f + 1].descriptors)
+                   for f in range(F - 1)]
+    meas = loop_sim3_measurements(feats, intr, R_gt.astype(np.float32),
+                                  t_gt.astype(np.float32), all_matches,
+                                  loops)
+    assert meas, "no sim3 measurement produced"
+    for (a, b, s_rel, R_rel, t_rel) in meas:
+        baseline = np.linalg.norm(cg[b] - cg[a])
+        assert abs(s_rel - 1.0) < 0.15, s_rel
+        assert abs(np.linalg.norm(t_rel) - baseline) < 0.2 * baseline, (
+            np.linalg.norm(t_rel), baseline)
+
     # integration smoke: loop-closed odometry (with the full Sim(3)
     # measurement + graph path) runs and stays finite
     res = reconstruct_long_sequence(frames, intr, window=6, overlap=3,

@@ -138,3 +138,45 @@ def test_sim3_graph_noise_only_stays_put():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_opt.s), 1.0,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sim3_robust_prunes_wrong_loop_edge():
+    """One good loop edge + one garbage edge (wrong rotation, wrong
+    scale): optimize_robust must disable the garbage edge by consensus
+    and still recover the drifted trajectory."""
+    R_gt, t_gt = _circle_gt()
+    R_dr, t_dr = _drifted_chain(R_gt, t_gt, drift_per_step=1.02)
+    c_gt = np.einsum("nji,nj->ni", R_gt, -t_gt)
+    c_dr = np.einsum("nji,nj->ni", R_dr, -t_dr)
+    ate0 = float(absolute_trajectory_error(
+        jnp.asarray(c_dr), jnp.asarray(c_gt), with_scale=True))
+
+    N = len(R_gt)
+    drift = 1.02 ** np.arange(N)
+    i, j = 0, N - 1
+    R_rel = R_gt[j] @ R_gt[i].T
+    t_rel = t_gt[j] - R_rel @ t_gt[i]
+    good = (i, j, drift[j] / drift[i], R_rel, drift[j] * t_rel)
+    rng = np.random.default_rng(5)
+    R_bad = np.asarray(so3_exp(jnp.asarray(rng.normal(0, 1.0, 3),
+                                           jnp.float32)))
+    bad = (2, N - 3, 5.0, R_bad, rng.normal(0, 2.0, 3).astype(np.float32))
+    # a second good edge so the consensus has a majority
+    i2, j2 = 1, N - 2
+    R_rel2 = R_gt[j2] @ R_gt[i2].T
+    t_rel2 = t_gt[j2] - R_rel2 @ t_gt[i2]
+    good2 = (i2, j2, drift[j2] / drift[i2], R_rel2, drift[j2] * t_rel2)
+
+    g = sim3.chain_graph(R_dr, t_dr, loop_edges=[good, bad, good2],
+                         loop_weight=3.0)
+    g_opt = sim3.optimize_robust(g, n_consecutive=N - 1,
+                                 n_iters=20, lam=1e-5)
+    # the garbage edge must be disabled
+    w_loops = np.asarray(g_opt.weight)[N - 1:]
+    assert w_loops[1] == 0.0, w_loops
+    assert w_loops[0] > 0 and w_loops[2] > 0, w_loops
+    R_c, t_c = sim3.corrected_trajectory(g_opt)
+    c_c = np.einsum("nji,nj->ni", np.asarray(R_c), -np.asarray(t_c))
+    ate1 = float(absolute_trajectory_error(
+        jnp.asarray(c_c), jnp.asarray(c_gt), with_scale=True))
+    assert ate1 < ate0 / 20.0, (ate0, ate1)
