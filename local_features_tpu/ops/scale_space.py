@@ -82,14 +82,85 @@ def sep_conv_mirror(
     return out
 
 
+def _sep_conv_valid(x: jnp.ndarray, kernel: np.ndarray,
+                    dilation: int) -> jnp.ndarray:
+    """Valid separable conv on the last two axes (no padding); the
+    result shrinks by rad*dilation per side.  Same tap order as
+    sep_conv_mirror so interior values are bit-identical."""
+    rad = (len(kernel) - 1) // 2
+    pad = rad * dilation
+    hh = x.shape[-2] - 2 * pad
+    ww = x.shape[-1] - 2 * pad
+    out = None
+    for i, k in enumerate(kernel):
+        off = i * dilation
+        term = float(k) * jax.lax.slice_in_dim(x, off, off + ww,
+                                               axis=x.ndim - 1)
+        out = term if out is None else out + term
+    x = out
+    out = None
+    for i, k in enumerate(kernel):
+        off = i * dilation
+        term = float(k) * jax.lax.slice_in_dim(x, off, off + hh,
+                                               axis=x.ndim - 2)
+        out = term if out is None else out + term
+    return out
+
+
+def scale_space_prepad(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
+    """[n_scales+3, H, W] coarse stack: sigma=0.6 blur then SWT levels.
+
+    One mirror extension, then valid convs: the symmetric kernels
+    preserve the MirroredRepeat symmetry of the extended signal, so
+    every level of the once-extended input restricted to [H, W] equals
+    the per-level mirror-pad construction (exactly for interior pixels,
+    to f32 summation order near borders).  This removes n_levels*2 - 2
+    pad materializations and lets XLA fuse the whole stack over one
+    padded array — at the price of convolving ~2x the pixels (the pad
+    region, 128/side at n_scales=4).  Whether that trades well is a
+    bandwidth-vs-FLOPs question for the TPU profile: select with
+    LF_SCALE_SPACE=prepad and A/B on hardware before making it the
+    default.  Parity: tests/test_scale_space.py runs the golden suite
+    against both implementations.
+    """
+    img = img.astype(jnp.float32)
+    n_coarse = n_scales + 3
+    h, w = img.shape[-2], img.shape[-1]
+    pads = [2] + [2 * (1 << l) for l in range(n_coarse - 1)]
+    kernels = [C.BASE_BLUR_KERNEL] + [C.SWT_KERNEL] * (n_coarse - 1)
+    dils = [1] + [1 << l for l in range(n_coarse - 1)]
+    total = sum(pads)
+    cur = mirror_pad(mirror_pad(img, total, img.ndim - 1),
+                     total, img.ndim - 2)
+    rem = total
+    levels = []
+    for kern, dil, p in zip(kernels, dils, pads):
+        cur = _sep_conv_valid(cur, kern, dil)
+        rem -= p
+        idx = [slice(None)] * (img.ndim - 2) + \
+            [slice(rem, rem + h), slice(rem, rem + w)]
+        levels.append(cur[tuple(idx)])
+    return jnp.stack(levels, axis=-3)
+
+
 def scale_space(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
-    """[n_scales+3, H, W] coarse stack: sigma=0.6 blur then SWT levels."""
+    """[n_scales+3, H, W] coarse stack: sigma=0.6 blur then SWT levels.
+
+    Default: per-level mirror-pad construction (proven on TPU).  Set
+    LF_SCALE_SPACE=prepad to trace the one-shot-extension variant
+    (scale_space_prepad) for an on-hardware A/B.
+    """
+    import os
+
+    if os.environ.get("LF_SCALE_SPACE", "") == "prepad":
+        return scale_space_prepad(img, n_scales)
     img = img.astype(jnp.float32)
     levels = [sep_conv_mirror(img, C.BASE_BLUR_KERNEL)]
     n_coarse = n_scales + 3
     for lvl in range(n_coarse - 1):
-        levels.append(sep_conv_mirror(levels[-1], C.SWT_KERNEL, dilation=1 << lvl))
-    return jnp.stack(levels)
+        levels.append(sep_conv_mirror(levels[-1], C.SWT_KERNEL,
+                                      dilation=1 << lvl))
+    return jnp.stack(levels, axis=-3)
 
 
 def fine_volume(coarse: jnp.ndarray) -> jnp.ndarray:

@@ -54,3 +54,16 @@ def test_patch_pyramid_matches_golden(test_image):
         mip_j = flat[offsets[lvl] : offsets[lvl] + h * w].reshape(h, w)
         np.testing.assert_allclose(mip_j, mip_g, atol=2e-6,
                                    err_msg=f"level {lvl}")
+
+
+def test_scale_space_prepad_matches_perlevel():
+    """The one-shot-mirror-extension variant must match the per-level
+    construction to f32 summation precision everywhere, including
+    pad >= dim regimes (small image, large total receptive field)."""
+    rng = np.random.default_rng(3)
+    for shape in ((96, 128), (240, 320)):
+        img = rng.random(shape).astype(np.float32)
+        a = np.asarray(jss.scale_space(jnp.asarray(img), 4))
+        b = np.asarray(jss.scale_space_prepad(jnp.asarray(img), 4))
+        np.testing.assert_allclose(b, a, atol=2e-6, rtol=1e-6,
+                                   err_msg=str(shape))
