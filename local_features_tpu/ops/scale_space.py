@@ -146,14 +146,22 @@ def scale_space_prepad(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
 def scale_space(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
     """[n_scales+3, H, W] coarse stack: sigma=0.6 blur then SWT levels.
 
-    Default: per-level mirror-pad construction (proven on TPU).  Set
-    LF_SCALE_SPACE=prepad to trace the one-shot-extension variant
-    (scale_space_prepad) for an on-hardware A/B.
+    Default: per-level mirror-pad construction (proven on TPU).  For
+    on-hardware A/Bs (end-to-end bench.py only — micro-benches lie on
+    axon, CLAUDE.md): LF_SCALE_SPACE=prepad traces the one-shot-
+    extension variant; LF_SCALE_SPACE=pallas traces the fused kernel
+    (pallas/scale_space.py; check compile time first).
     """
     import os
 
-    if os.environ.get("LF_SCALE_SPACE", "") == "prepad":
+    impl = os.environ.get("LF_SCALE_SPACE", "")
+    if impl == "prepad":
         return scale_space_prepad(img, n_scales)
+    if impl == "pallas":
+        from ..pallas.scale_space import scale_space_pallas
+
+        return scale_space_pallas(img, n_scales,
+                                  interpret=jax.default_backend() == "cpu")
     img = img.astype(jnp.float32)
     levels = [sep_conv_mirror(img, C.BASE_BLUR_KERNEL)]
     n_coarse = n_scales + 3
