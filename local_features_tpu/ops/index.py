@@ -33,9 +33,20 @@ class IndexMatches(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=())
-def _query_bank(bank, bank_valid, q, q_valid, ratio):
-    """Exact 2-NN + usearch-style distance-ratio test, one matmul."""
+def _update_bank(bank, rows, start):
+    """Write a padded row block at `start` (the pad region lands on rows
+    that are not yet live and is overwritten by later appends)."""
+    return jax.lax.dynamic_update_slice(bank, rows, (start, 0))
+
+
+@partial(jax.jit, static_argnames=())
+def _query_bank(bank, n_valid, q, q_valid, ratio):
+    """Exact 2-NN + usearch-style distance-ratio test, one matmul.
+
+    `n_valid` is a traced scalar (rows [0, n_valid) are live), so bank
+    growth between queries does not retrigger compilation."""
     sim = jnp.dot(q, bank.T, preferred_element_type=jnp.float32)
+    bank_valid = jnp.arange(bank.shape[0], dtype=jnp.int32) < n_valid
     sim = jnp.where(bank_valid[None, :], sim, -jnp.inf)
     ibest = jnp.argmax(sim, axis=1)
     best = jnp.max(sim, axis=1)
@@ -100,17 +111,29 @@ class DescriptorIndex:
             grown = np.zeros((self._cap, self.dim), np.float32)
             grown[: self._n] = self._bank[: self._n]
             self._bank = grown
+            self._device = None        # reallocation: full upload next query
         ids = np.arange(self._n, need, dtype=np.int32)
         self._bank[self._n: need] = d
+        if self._device is not None:
+            # ship ONLY the new rows (bucketed so distinct row counts
+            # don't each compile a fresh update executable); a streaming
+            # caller otherwise re-uploads the whole O(F) bank per frame
+            # for O(F^2) total traffic
+            bucket = max(64, 1 << (n_new - 1).bit_length())
+            if self._n + bucket <= self._cap:
+                rows = np.zeros((bucket, self.dim), np.float32)
+                rows[:n_new] = d
+                self._device = _update_bank(self._device, jnp.asarray(rows),
+                                            jnp.int32(self._n))
+            else:
+                # padded write would clamp into live rows; re-upload
+                self._device = None
         self._n = need
-        self._device = None
         return ids
 
     def _device_bank(self):
         if self._device is None:
-            valid = np.zeros((self._cap,), bool)
-            valid[: self._n] = True
-            self._device = (jnp.asarray(self._bank), jnp.asarray(valid))
+            self._device = jnp.asarray(self._bank)
         return self._device
 
     def search(self, descriptors, valid=None,
@@ -127,9 +150,9 @@ class DescriptorIndex:
             q_valid = jnp.ones((q.shape[0],), bool)
         else:
             q_valid = jnp.asarray(valid, bool)
-        bank, bank_valid = self._device_bank()
+        bank = self._device_bank()
         r = jnp.float32(self.ratio if ratio is None else ratio)
-        return _query_bank(bank, bank_valid, q, q_valid, r)
+        return _query_bank(bank, jnp.int32(self._n), q, q_valid, r)
 
     def save(self, path) -> None:
         np.savez(path, bank=self._bank[: self._n],

@@ -54,7 +54,14 @@ def initialize(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    if jax._src.distributed.global_state.client is not None:
+    try:                       # public API where available (jax >= 0.4.34)
+        already = jax.distributed.is_initialized()
+    except AttributeError:
+        try:
+            already = jax._src.distributed.global_state.client is not None
+        except AttributeError:  # private layout moved: assume fresh
+            already = False
+    if already:
         return  # already initialized
     if coordinator_address is None and num_processes is None:
         # single-process / TPU-pod-auto case: only call into

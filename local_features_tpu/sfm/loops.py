@@ -32,6 +32,20 @@ from ..ops.index import DescriptorIndex
 from ..ops.matching import mutual_match
 
 
+def _pow2(n: int, lo: int = 64) -> int:
+    """Shape bucket: every device call in the streaming loop pads its
+    inputs to a power-of-two capacity with a validity mask, so the
+    number of distinct traced shapes (= compiles) is logarithmic in the
+    sequence's descriptor counts instead of one per candidate pair."""
+    return max(lo, 1 << max(0, int(n) - 1).bit_length())
+
+
+def _pad_rows(a: np.ndarray, cap: int) -> np.ndarray:
+    out = np.zeros((cap,) + a.shape[1:], a.dtype)
+    out[: len(a)] = a
+    return out
+
+
 class LoopEdge(NamedTuple):
     i: int                # earlier frame
     j: int                # later frame
@@ -83,7 +97,10 @@ def detect_loop_closures(
         q = np.asarray(feats[i].descriptors, np.float32)
         if not len(q):
             continue
-        m = index.search(q)
+        qb = _pow2(len(q))
+        qp = jnp.asarray(_pad_rows(q, qb))
+        qv = jnp.asarray(np.arange(qb) < len(q))
+        m = index.search(qp, valid=qv)
         hit = np.asarray(m.indices)[np.asarray(m.mask)]
         if not len(hit):
             continue
@@ -93,24 +110,31 @@ def detect_loop_closures(
             continue
 
         # geometric verification: mutual matches + essential RANSAC
-        mm = mutual_match(jnp.asarray(feats[j].descriptors),
-                          jnp.asarray(q), ratio=0.8)
-        sel = np.asarray(mm.mask)
+        dj = np.asarray(feats[j].descriptors, np.float32)
+        db = _pow2(len(dj))
+        mm = mutual_match(jnp.asarray(_pad_rows(dj, db)), qp,
+                          valid_a=jnp.asarray(np.arange(db) < len(dj)),
+                          valid_b=qv, ratio=0.8)
+        sel = np.asarray(mm.mask)           # False on pad rows
         if sel.sum() < min_inliers:
             continue
         idx = np.asarray(mm.indices)
-        kj = np.stack([feats[j].x[sel], feats[j].y[sel]], axis=1)
+        kj = np.stack([feats[j].x[sel[: len(dj)]],
+                       feats[j].y[sel[: len(dj)]]], axis=1)
         ki = np.stack([feats[i].x[idx[sel]], feats[i].y[idx[sel]]], axis=1)
-        x1 = geo.normalize_points(jnp.asarray(kj, jnp.float32), intr_j)
-        x2 = geo.normalize_points(jnp.asarray(ki, jnp.float32), intr_j)
+        M = len(kj)
+        cap = _pow2(M)
+        vmask = np.arange(cap) < M
+        x1 = geo.normalize_points(jnp.asarray(_pad_rows(kj, cap)), intr_j)
+        x2 = geo.normalize_points(jnp.asarray(_pad_rows(ki, cap)), intr_j)
         key, sub = jax.random.split(key)
         # revisits are the small-rotation / noisy regime the bas-relief
         # fixes exist for; opt in (see estimate_relative_pose docstring)
-        tv = estimate_relative_pose(x1, x2,
-                                    jnp.ones(len(kj), bool), sub,
+        tv = estimate_relative_pose(x1, x2, jnp.asarray(vmask), sub,
                                     rotation_prior=10.0,
                                     adaptive_threshold=True)
-        inl = np.asarray(sampson_distance(tv.E, x1, x2)) < verify_thr
+        inl = (np.asarray(sampson_distance(tv.E, x1, x2))
+               < verify_thr)[:M] & vmask[:M]
         n_in = int(inl.sum())
         if n_in < min_inliers:
             continue

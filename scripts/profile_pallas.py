@@ -130,9 +130,11 @@ def main():
             m = mag.reshape(K, -1)
             c1 = c1.reshape(K, -1)
             s1 = s1.reshape(K, -1)
-            lift = _vm_stack(c1.astype(jnp.bfloat16), s1.astype(jnp.bfloat16),
-                             m.astype(jnp.bfloat16), C.VM_FOURIER_N3_K8,
-                             axis=0)
+            # production runs the recurrence in f32 and materializes the
+            # stack as bf16 (raw_mkd_descriptors fast path) — profile
+            # the same kernel, not a bf16-native variant
+            lift = _vm_stack(c1, s1, m, C.VM_FOURIER_N3_K8,
+                             axis=0, out_dtype=jnp.bfloat16)
             if upto == "dlift":
                 return jnp.sum(lift.astype(jnp.float32))
             pp = jnp.asarray(_polar_planes_rotated()).astype(jnp.bfloat16)

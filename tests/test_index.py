@@ -106,3 +106,32 @@ def test_save_load_suffixless_path(tmp_path):
     assert len(idx2) == 10
     m = idx2.search(d)
     assert int(np.asarray(m.mask).sum()) == 10
+
+
+def test_incremental_add_updates_device_bank_in_place():
+    """After the device bank materializes, appends must ship only the
+    new rows (no full invalidation): the O(F^2) streaming-upload fix."""
+    rng = np.random.default_rng(11)
+    mk = lambda n: (lambda d: d / np.linalg.norm(d, axis=1, keepdims=True))(
+        rng.normal(size=(n, 32)).astype(np.float32))
+    idx = DescriptorIndex(dim=32, capacity=512)
+    d1 = mk(100)
+    idx.add(d1)
+    idx.search(d1[:4])                       # materialize the device bank
+    assert idx._device is not None
+    d2 = mk(50)
+    idx.add(d2)
+    assert idx._device is not None, "append invalidated the device bank"
+    m = idx.search(d2)
+    sims = np.asarray(m.sims)
+    # self-matches: every appended row is its own nearest neighbor
+    best = np.argmax(d2 @ idx._bank[:150].T, axis=1)
+    assert np.all(best == np.arange(100, 150))
+    assert np.allclose(sims, 1.0, atol=1e-5)
+
+    # growth reallocates: falls back to one full upload and stays correct
+    d3 = mk(500)
+    idx.add(d3)
+    assert idx._device is None
+    m3 = idx.search(d3[:7])
+    assert np.allclose(np.asarray(m3.sims), 1.0, atol=1e-5)
