@@ -37,9 +37,11 @@ def test_vmap_batch_matches_single(test_image):
         rs = detect_extract(imgs[i], cfg, mean, proj, 128, 0.0, 24.0)
         assert int(rb.n_keypoints[i]) == int(rs.n_keypoints)
         vb = np.asarray(rb.valid[i])
+        # 1e-4 px: jit(vmap) fuses differently from the single-image
+        # program, so refined positions differ by float rounding
         np.testing.assert_allclose(np.asarray(rb.x[i])[vb],
                                    np.asarray(rs.x)[np.asarray(rs.valid)],
-                                   atol=1e-5)
+                                   atol=1e-4)
 
 
 def test_sharded_matches_batched(test_image):
