@@ -180,3 +180,75 @@ def test_sim3_robust_prunes_wrong_loop_edge():
     ate1 = float(absolute_trajectory_error(
         jnp.asarray(c_c), jnp.asarray(c_gt), with_scale=True))
     assert ate1 < ate0 / 20.0, (ate0, ate1)
+
+
+def test_measurement_chain_corrects_injected_drift():
+    """Full loop-closure chain under CONTROLLED drift: synthetic
+    features (projected world points carrying per-point descriptors)
+    flow through detect_loop_closures -> loop_sim3_measurements ->
+    chain_graph -> optimize_robust, and the corrected trajectory must
+    recover most of the injected scale drift.  This is the end-to-end
+    validation the image-pipeline tests cannot give (estimation noise
+    there is per-step jitter, not drift — see sfm/loops.py NOTE)."""
+    from types import SimpleNamespace
+
+    from local_features_tpu.sfm.loops import (detect_loop_closures,
+                                              loop_sim3_measurements)
+
+    rng = np.random.default_rng(9)
+    N, H, W = 20, 240, 320
+    intr = np.array([260.0, 260.0, W / 2, H / 2], np.float32)
+    R_gt, t_gt = _circle_gt(N=N, radius=3.0)
+    # world points: ring around the trajectory at larger radius + jitter
+    P = 700
+    ang = rng.uniform(0, 2 * np.pi, P)
+    rad = rng.uniform(4.5, 7.0, P)
+    X = np.stack([rad * np.cos(ang), rng.uniform(-1.5, 1.5, P),
+                  rad * np.sin(ang)], axis=1)
+    desc = rng.normal(size=(P, 128)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    feats, vis_ids = [], []
+    for f in range(N):
+        Xc = X @ R_gt[f].T + t_gt[f]
+        u = intr[0] * Xc[:, 0] / Xc[:, 2] + intr[2]
+        v = intr[1] * Xc[:, 1] / Xc[:, 2] + intr[3]
+        vis = (Xc[:, 2] > 0.5) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        ids = np.flatnonzero(vis)
+        kp = np.zeros((len(ids), 5), np.float32)
+        kp[:, 0] = u[ids]
+        kp[:, 1] = v[ids]
+        feats.append(SimpleNamespace(
+            keypoints_array=kp, x=kp[:, 0], y=kp[:, 1],
+            descriptors=desc[ids]))
+        vis_ids.append(ids)
+    assert min(len(i) for i in vis_ids) > 60
+
+    pair_matches = []
+    for f in range(N - 1):
+        common, ia, ib = np.intersect1d(vis_ids[f], vis_ids[f + 1],
+                                        return_indices=True)
+        pair_matches.append(np.stack([ia, ib], axis=1).astype(np.int64))
+
+    loops = detect_loop_closures(feats, intr, min_separation=10, seed=3)
+    assert loops, "revisit not retrieved from synthetic descriptors"
+
+    R_dr, t_dr = _drifted_chain(R_gt, t_gt, drift_per_step=1.03)
+    c_gt = np.einsum("nji,nj->ni", R_gt, -t_gt)
+    c_dr = np.einsum("nji,nj->ni", R_dr, -t_dr)
+    ate0 = float(absolute_trajectory_error(
+        jnp.asarray(c_dr), jnp.asarray(c_gt), with_scale=True))
+
+    meas = loop_sim3_measurements(feats, intr, R_dr.astype(np.float32),
+                                  t_dr.astype(np.float32), pair_matches,
+                                  loops)
+    assert meas, "no sim3 measurement"
+    g = sim3.chain_graph(R_dr, t_dr, loop_edges=meas, loop_weight=3.0)
+    g_opt = sim3.optimize_robust(g, n_consecutive=N - 1,
+                                 n_iters=20, lam=1e-5)
+    R_c, t_c = sim3.corrected_trajectory(g_opt)
+    c_c = np.einsum("nji,nj->ni", np.asarray(R_c), -np.asarray(t_c))
+    ate1 = float(absolute_trajectory_error(
+        jnp.asarray(c_c), jnp.asarray(c_gt), with_scale=True))
+    # measured drift (1.03^20 ~ 1.8x scale error) must shrink >3x
+    assert ate1 < ate0 / 3.0, (ate0, ate1)
