@@ -129,8 +129,28 @@ def _core(n_scales: int, Hb: int, W_out: int, Wp: int, T: int,
     return core
 
 
+_VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem is 16M; leave headroom
+
+
+def _pick_block_rows(h: int, w_out: int, wp: int, n_levels: int,
+                     T: int) -> int:
+    """Largest row block whose VMEM footprint fits the scoped budget:
+    2x (Hb+2T, Wp) f32 scratch + the (L, Hb, W_out) f32 output block,
+    which Mosaic buffers ~3x for grid pipelining (measured on v5e at
+    Hb=240, 640x480 L=7: 18.1M scoped allocation vs the 16M limit —
+    2x scratch + 2x out would only be 12.2M, so the out block must be
+    carried ~3x; budget 10M keeps ~1.5x slack against that model)."""
+    hb = min(_round_up(h, 8), 240)
+    while hb > 8:
+        footprint = 4 * (2 * (hb + 2 * T) * wp + 3 * n_levels * hb * w_out)
+        if footprint <= _VMEM_BUDGET:
+            break
+        hb -= 8
+    return hb
+
+
 def scale_space_pallas(img: jnp.ndarray, n_scales: int,
-                       block_rows: int = 240,
+                       block_rows: int | None = None,
                        interpret: bool = False) -> jnp.ndarray:
     """[n_scales+3, H, W] coarse stack — fused Pallas variant.
 
@@ -142,6 +162,10 @@ def scale_space_pallas(img: jnp.ndarray, n_scales: int,
     h, w = img.shape[-2], img.shape[-1]
     spec = _levels_spec(n_scales)
     T = _round_up(sum(p for _, _, p in spec), 8)
+    if block_rows is None:
+        w_out_est = _round_up(w, 128)
+        wp_est = _round_up(w_out_est + 2 * T, 128)
+        block_rows = _pick_block_rows(h, w_out_est, wp_est, len(spec), T)
     Hb = min(_round_up(h, 8), _round_up(block_rows, 8))
     n_blocks = -(-h // Hb)
     W_out = _round_up(w, 128)
