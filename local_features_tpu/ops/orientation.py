@@ -194,8 +194,11 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
     (arena, sel, plane0, oy_glob, ox,
      y_local, x_local) = _arena_offsets(coarse, xi, yi, level, bvalid)
 
+    import os
+
     win = fetch_windows_multi((arena,), sel, plane0, oy_glob, ox,
                               win_h=_OWIN_H, win_w=_OWIN_W,
+                              kb=int(os.environ.get("LF_OWIN_KB", "16")),
                               interpret=interpret)        # [F, 24, 128]
 
     # batched one-hot extraction: patch[f, r, c] = win[f, yl+r, xl+c].
