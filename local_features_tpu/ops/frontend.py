@@ -41,11 +41,24 @@ class FrontendConfig:
     border: int = C.DETECT_BORDER
     contrast_threshold: float = C.CONTRAST_THRESHOLD
     # "pallas" = TPU window-DMA + one-hot-matmul sampler (bf16 pyramid,
-    # ~50x faster than the XLA gather); "xla" = exact f32 gather fallback.
-    sampler: str = "xla"
+    # ~50x faster than the XLA gather); "xla" = exact f32 gather fallback;
+    # "auto" = pallas on TPU, xla on CPU — resolved at trace time so
+    # composing detect_extract directly (as __graft_entry__ does) gets
+    # the flagship kernel path on real hardware.
+    sampler: str = "auto"
     # run Pallas kernels in interpret mode (CPU debugging/parity only)
     interpret: bool = False
 
+
+def _use_pallas(cfg: "FrontendConfig") -> bool:
+    """Resolve cfg.sampler to a concrete choice.  "auto" picks the Pallas
+    sampler on any non-CPU backend.  Read at trace time: the backend is
+    process-stable (tests pin CPU in conftest before the first trace)."""
+    if cfg.sampler == "auto":
+        return jax.default_backend() != "cpu"
+    if cfg.sampler not in ("pallas", "xla"):
+        raise ValueError(f"unknown sampler {cfg.sampler!r}")
+    return cfg.sampler == "pallas"
 
 
 class FrontendResult(NamedTuple):
@@ -107,7 +120,7 @@ def extract_from_blobs(
     """Extract phase: orientation + patches + descriptors from a filtered
     blob set (parity with the reference's extract taskgraph)."""
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
-                               use_pallas=cfg.sampler == "pallas",
+                               use_pallas=_use_pallas(cfg),
                                interpret=cfg.interpret)
     return _finish_extract(coarse, filtered, kps, cfg, pca_mean, pca_proj,
                            patch_scale_factor)
@@ -141,7 +154,7 @@ def detect_extract(
                                top_n)
 
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
-                               use_pallas=cfg.sampler == "pallas",
+                               use_pallas=_use_pallas(cfg),
                                interpret=cfg.interpret)
 
     return _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
@@ -151,7 +164,7 @@ def detect_extract(
 def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
                     patch_scale_factor) -> FrontendResult:
     mips = patch_pyramid_mips(coarse)
-    if cfg.sampler == "pallas":
+    if _use_pallas(cfg):
         from ..pallas.sampling import build_canvas, sample_patches_pallas
 
         canvas = build_canvas(mips)
@@ -168,7 +181,7 @@ def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
             patch_scale_factor,
         )
     desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid,
-                           fast=cfg.sampler == "pallas")
+                           fast=_use_pallas(cfg))
 
     return FrontendResult(
         x=kps.x, y=kps.y, size=kps.size, angle=kps.angle,

@@ -13,6 +13,7 @@ atomic-free TPU equivalent of stream compaction.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -23,6 +24,14 @@ from .. import constants as C
 
 _R = C.ORI_PATCH_RADIUS  # 7
 _PS = 2 * _R + 1         # 15
+
+# Window-DMA batching knob for the orientation arena kernel.  Read ONCE
+# at import: the value is baked into every cached trace, so setting the
+# env var after the first trace would silently do nothing — fail fast on
+# nonsense instead.
+_OWIN_KB = int(os.environ.get("LF_OWIN_KB", "16"))
+if _OWIN_KB < 1:
+    raise ValueError(f"LF_OWIN_KB must be >= 1, got {_OWIN_KB}")
 
 
 class KeypointArrays(NamedTuple):
@@ -194,11 +203,9 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
     (arena, sel, plane0, oy_glob, ox,
      y_local, x_local) = _arena_offsets(coarse, xi, yi, level, bvalid)
 
-    import os
-
     win = fetch_windows_multi((arena,), sel, plane0, oy_glob, ox,
                               win_h=_OWIN_H, win_w=_OWIN_W,
-                              kb=int(os.environ.get("LF_OWIN_KB", "16")),
+                              kb=_OWIN_KB,
                               interpret=interpret)        # [F, 24, 128]
 
     # batched one-hot extraction: patch[f, r, c] = win[f, yl+r, xl+c].

@@ -158,10 +158,17 @@ def scale_space(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
     if impl == "prepad":
         return scale_space_prepad(img, n_scales)
     if impl == "pallas":
-        from ..pallas.scale_space import scale_space_pallas
+        from ..pallas.scale_space import ScaleSpaceVmemError, scale_space_pallas
 
-        return scale_space_pallas(img, n_scales,
-                                  interpret=jax.default_backend() == "cpu")
+        try:
+            return scale_space_pallas(img, n_scales,
+                                      interpret=jax.default_backend() == "cpu")
+        except ScaleSpaceVmemError as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LF_SCALE_SPACE=pallas unavailable for this shape (%s); "
+                "using the default XLA construction", e)
     img = img.astype(jnp.float32)
     levels = [sep_conv_mirror(img, C.BASE_BLUR_KERNEL)]
     n_coarse = n_scales + 3

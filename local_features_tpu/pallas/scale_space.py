@@ -132,6 +132,11 @@ def _core(n_scales: int, Hb: int, W_out: int, Wp: int, T: int,
 _VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem is 16M; leave headroom
 
 
+class ScaleSpaceVmemError(ValueError):
+    """The fused kernel's minimum VMEM footprint exceeds the scoped
+    budget for this shape; callers should fall back to the XLA path."""
+
+
 def _pick_block_rows(h: int, w_out: int, wp: int, n_levels: int,
                      T: int) -> int:
     """Largest row block whose VMEM footprint fits the scoped budget:
@@ -146,6 +151,16 @@ def _pick_block_rows(h: int, w_out: int, wp: int, n_levels: int,
         if footprint <= _VMEM_BUDGET:
             break
         hb -= 8
+    footprint = 4 * (2 * (hb + 2 * T) * wp + 3 * n_levels * hb * w_out)
+    if footprint > _VMEM_BUDGET:
+        # the scratch term 2*(hb+2T)*wp is ~fixed in hb, so for very wide
+        # images / large n_scales even hb=8 can exceed the scoped-VMEM
+        # budget — surface it instead of letting Mosaic fault at compile
+        raise ScaleSpaceVmemError(
+            f"fused scale-space kernel cannot fit VMEM: min footprint "
+            f"{footprint / 1e6:.1f}M > budget {_VMEM_BUDGET / 1e6:.1f}M "
+            f"(w_out={w_out}, wp={wp}, L={n_levels}, T={T}); use the "
+            f"default XLA construction for this shape")
     return hb
 
 

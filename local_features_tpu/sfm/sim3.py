@@ -122,9 +122,27 @@ def optimize(graph: Sim3Graph, n_iters: int = 15, lam: float = 1e-6,
     return graph
 
 
+def _chain_deformation(sol: Sim3Graph, graph: Sim3Graph,
+                       n_consecutive: int) -> float:
+    """Worst per-chain-edge squared deformation of solution `sol` vs the
+    original chain measurements, translation normalized by the median
+    chain step length (scale-free).  A genuine loop closure spreads a
+    small drift correction smoothly (per-edge deformation ~1e-3);
+    forcing a garbage edge bends some chain edge hard (~0.1-1+)."""
+    idx = jnp.arange(n_consecutive)
+    e = graph.edges[idx]
+    r = _edge_residual(sol.s[e[:, 0]], sol.R[e[:, 0]], sol.t[e[:, 0]],
+                       sol.s[e[:, 1]], sol.R[e[:, 1]], sol.t[e[:, 1]],
+                       graph.s_rel[idx], graph.R_rel[idx], graph.t_rel[idx])
+    step = jnp.median(jnp.linalg.norm(graph.t_rel[idx], axis=-1)) + 1e-9
+    r = r.at[:, 3:6].divide(step)
+    return float(jnp.max(jnp.sum(r * r, axis=-1)))
+
+
 def optimize_robust(graph: Sim3Graph, n_consecutive: int,
                     n_iters: int = 15, lam: float = 1e-6,
-                    prune_factor: float = 9.0) -> Sim3Graph:
+                    prune_factor: float = 9.0,
+                    chain_gate: float = 0.02) -> Sim3Graph:
     """optimize() with pairwise loop-edge consensus pruning.
 
     Assumes `graph.edges[:n_consecutive]` are the trajectory chain and
@@ -137,12 +155,25 @@ def optimize_robust(graph: Sim3Graph, n_consecutive: int,
     vouch for each other with near-zero disagreement; a wrong edge has
     no partner near the consensus tightness and is disabled, after
     which the graph is re-optimized from the original poses.  Needs
-    >= 3 loop edges for a majority (2 edges disagreeing is undecidable
-    and both are kept); a single edge is trusted — callers gate on the
-    upstream geometric verification.  Cost: k+1 optimizations for k
-    loop edges — loop edges are rare.
+    >= 3 loop edges for a majority (2 edges disagreeing is undecidable);
+    with 1-2 loop edges each is instead gated on CHAIN disagreement:
+    its single-edge solution must not deform any chain edge beyond
+    `chain_gate` (normalized squared tangent norm — genuine drift
+    corrections spread smoothly at ~1e-3/edge, a garbage edge bends the
+    chain at ~0.1+), so a lone perceptual-aliasing edge that survived
+    geometric verification is still rejected.  Cost: k+1 optimizations
+    for k loop edges — loop edges are rare.
     """
     n_loops = graph.edges.shape[0] - n_consecutive
+    if 1 <= n_loops <= 2:
+        keep = graph.weight
+        for k in range(n_loops):
+            w = graph.weight.at[n_consecutive:].set(0.0) \
+                .at[n_consecutive + k].set(graph.weight[n_consecutive + k])
+            sol = optimize(graph._replace(weight=w), n_iters, lam)
+            if _chain_deformation(sol, graph, n_consecutive) > chain_gate:
+                keep = keep.at[n_consecutive + k].set(0.0)
+        graph = graph._replace(weight=keep)
     if n_loops >= 3:
         def edge_sq_residual(g, k):
             e = graph.edges[n_consecutive + k]

@@ -93,3 +93,17 @@ def test_detect_keypoint_cap_below_blob_cap(test_image):
     big_set = {tuple(np.round(row[:3], 4)) for row in r_big.keypoints_array}
     for row in r_small.keypoints_array:
         assert tuple(np.round(row[:3], 4)) in big_set
+
+
+def test_sampler_auto_resolves_by_backend():
+    """FrontendConfig defaults to sampler="auto": xla on CPU, and invalid
+    names are rejected at trace time."""
+    import pytest
+
+    from local_features_tpu.ops.frontend import FrontendConfig, _use_pallas
+
+    assert _use_pallas(FrontendConfig()) is False  # tests pin CPU
+    assert _use_pallas(FrontendConfig(sampler="pallas")) is True
+    assert _use_pallas(FrontendConfig(sampler="xla")) is False
+    with pytest.raises(ValueError):
+        _use_pallas(FrontendConfig(sampler="cuda"))

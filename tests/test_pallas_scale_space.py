@@ -40,3 +40,34 @@ def test_pallas_scale_space_nonaligned_width():
     out = np.asarray(scale_space_pallas(jnp.asarray(img), 3,
                                         interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-6)
+
+
+def test_vmem_guard_raises_for_impossible_shape():
+    """Even hb=8 can blow scoped VMEM for extreme widths/levels; the
+    picker must surface that instead of letting Mosaic fault."""
+    import pytest
+
+    from local_features_tpu.pallas.scale_space import (
+        ScaleSpaceVmemError, _pick_block_rows)
+
+    # ~65k-wide image with many levels: scratch term alone exceeds budget
+    with pytest.raises(ScaleSpaceVmemError):
+        _pick_block_rows(h=480, w_out=65536, wp=66048, n_levels=10, T=256)
+
+
+def test_vmem_guard_dispatch_falls_back(monkeypatch):
+    """LF_SCALE_SPACE=pallas on an impossible shape must fall back to the
+    XLA construction, not raise."""
+    import local_features_tpu.pallas.scale_space as pss
+
+    def boom(*a, **k):
+        raise pss.ScaleSpaceVmemError("synthetic")
+
+    monkeypatch.setattr(pss, "scale_space_pallas", boom)
+    monkeypatch.setenv("LF_SCALE_SPACE", "pallas")
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((32, 64)).astype(np.float32))
+    out = np.asarray(jss.scale_space(img, 3))
+    ref = np.asarray(jss.sep_conv_mirror(img, __import__(
+        "local_features_tpu.constants", fromlist=["x"]).BASE_BLUR_KERNEL))
+    np.testing.assert_allclose(out[0], ref, atol=0, rtol=0)

@@ -252,3 +252,51 @@ def test_measurement_chain_corrects_injected_drift():
         jnp.asarray(c_c), jnp.asarray(c_gt), with_scale=True))
     # measured drift (1.03^20 ~ 1.8x scale error) must shrink >3x
     assert ate1 < ate0 / 3.0, (ate0, ate1)
+
+
+def test_sim3_robust_rejects_lone_garbage_edge():
+    """A SINGLE loop edge no longer bypasses consensus: a garbage edge
+    (wrong rotation + 5x scale) must be rejected by the chain-
+    disagreement gate, leaving the trajectory untouched."""
+    R_gt, t_gt = _circle_gt()
+    R_dr, t_dr = _drifted_chain(R_gt, t_gt, drift_per_step=1.02)
+    N = len(R_gt)
+    rng = np.random.default_rng(7)
+    R_bad = np.asarray(so3_exp(jnp.asarray(rng.normal(0, 1.0, 3),
+                                           jnp.float32)))
+    bad = (2, N - 3, 5.0, R_bad, rng.normal(0, 2.0, 3).astype(np.float32))
+    g = sim3.chain_graph(R_dr, t_dr, loop_edges=[bad], loop_weight=3.0)
+    g_opt = sim3.optimize_robust(g, n_consecutive=N - 1,
+                                 n_iters=20, lam=1e-5)
+    assert float(np.asarray(g_opt.weight)[-1]) == 0.0
+    # with the edge disabled the chain is self-consistent: poses stay
+    np.testing.assert_allclose(np.asarray(g_opt.t), t_dr,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sim3_robust_keeps_lone_genuine_edge():
+    """A genuine single loop edge (real drift correction) must survive
+    the chain gate and still correct the drift."""
+    from local_features_tpu.sfm.pose_graph import absolute_trajectory_error
+
+    R_gt, t_gt = _circle_gt()
+    R_dr, t_dr = _drifted_chain(R_gt, t_gt, drift_per_step=1.02)
+    c_gt = np.einsum("nji,nj->ni", R_gt, -t_gt)
+    c_dr = np.einsum("nji,nj->ni", R_dr, -t_dr)
+    ate0 = float(absolute_trajectory_error(
+        jnp.asarray(c_dr), jnp.asarray(c_gt), with_scale=True))
+    N = len(R_gt)
+    drift = 1.02 ** np.arange(N)
+    i, j = 0, N - 1
+    R_rel = R_gt[j] @ R_gt[i].T
+    t_rel = t_gt[j] - R_rel @ t_gt[i]
+    good = (i, j, drift[j] / drift[i], R_rel, drift[j] * t_rel)
+    g = sim3.chain_graph(R_dr, t_dr, loop_edges=[good], loop_weight=3.0)
+    g_opt = sim3.optimize_robust(g, n_consecutive=N - 1,
+                                 n_iters=20, lam=1e-5)
+    assert float(np.asarray(g_opt.weight)[-1]) > 0.0
+    R_c, t_c = sim3.corrected_trajectory(g_opt)
+    c_c = np.einsum("nji,nj->ni", np.asarray(R_c), -np.asarray(t_c))
+    ate1 = float(absolute_trajectory_error(
+        jnp.asarray(c_c), jnp.asarray(c_gt), with_scale=True))
+    assert ate1 < ate0 / 20.0, (ate0, ate1)
