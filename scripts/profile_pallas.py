@@ -101,6 +101,13 @@ def main():
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
             return jnp.sum(patch)
+        if upto == "ohist":
+            # histogram + peak math only (no keypoint top_k compaction)
+            import local_features_tpu.ops.orientation as ori
+            angles, peak = ori.orientation_histograms(
+                coarse, filt.x, filt.y, filt.size, filt.valid,
+                use_pallas=True)
+            return jnp.sum(angles) + jnp.sum(peak)
         kps = keypoints_from_blobs(coarse, filt, cfg.max_keypoints,
                                    use_pallas=True)
         if upto == "orient":
@@ -183,7 +190,7 @@ def main():
               "desc", "match"]
     if _os.environ.get("LF_PROFILE_ORI") == "1":
         stages = ["scale", "fine", "detect", "ocanvas", "owin", "oextract",
-                  "orient"]
+                  "ohist", "orient"]
     if _os.environ.get("LF_PROFILE_DET") == "1":
         stages = ["fine", "dense", "topk", "detect"]
     if _os.environ.get("LF_PROFILE_DESC") == "1":
