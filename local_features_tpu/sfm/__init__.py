@@ -13,10 +13,14 @@ Everything is batched, statically-shaped, jit-compatible JAX:
 - sim3: Sim(3) pose graph — scale-drift-aware monocular loop closure
 - distributed: landmark-sharded BA — per-shard point solves +
   psum-reduced camera Hessian over the mesh (ICI collectives)
+- sparse_ba: config-5-scale map-block-partitioned BA — track-blocked
+  observation storage, camera-windowed one-hot matmuls, implicit-Schur
+  preconditioned CG camera solve (no dense [C,P] mask, no [C*6,C*6])
 """
 
 from . import (geometry, two_view, ba, pose_graph, sim3, distributed,
-               pipeline, odometry, io, datasets)
+               sparse_ba, pipeline, odometry, io, datasets)
 
 __all__ = ["geometry", "two_view", "ba", "pose_graph", "sim3",
-           "distributed", "pipeline", "odometry", "io", "datasets"]
+           "distributed", "sparse_ba", "pipeline", "odometry", "io",
+           "datasets"]

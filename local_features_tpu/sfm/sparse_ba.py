@@ -1,0 +1,388 @@
+"""Sparse, map-block-partitioned bundle adjustment (BASELINE.md config 5).
+
+The dense formulation (ba.py / distributed.py) stores observations as a
+[C, P] visibility mask — at 10k cameras x 1e5 landmarks the mask alone
+is 1e9 entries, so it cannot be sharded out of memory, only OOM'd.  This
+module is the at-scale formulation.  Reference counterpart: none (the
+reference has no SfM layer); this is north-star scope.
+
+TPU-first design — three ideas:
+
+1. TRACK-BLOCKED STORAGE.  Observations live in fixed-capacity blocks
+   keyed by track (landmark), not by (camera, landmark) pair:
+   uv [B, T, K, 2], cam [B, T, K], X [B, T, 3] — B map blocks of T track
+   slots with at most K observations each.  The landmark half of the
+   normal equations (V_p, g_p, the landmark update) then needs NO
+   scatter at all: every per-track quantity is a masked reduction over
+   the K axis of its own block.  Scatter/gather — the TPU's weakest
+   primitives — never touch per-observation data.
+
+2. CAMERA-WINDOWED ONE-HOT MATMULS.  Each map block covers a contiguous
+   camera window [win_start, win_start + c_win) (its own keyframes plus
+   halo; odometry tracks are temporally local, so K-frame tracks fit a
+   c_blk + 2*halo window).  Every camera-indexed operation — selecting
+   poses per observation, accumulating U_c / g_c / Schur terms per
+   camera — becomes a [T*K, c_win] one-hot matmul against the window
+   (MXU work, Precision.HIGHEST for exact selection), followed by a
+   static-shape window accumulation into the global [C, ...] arrays.
+   Long-range (loop-closure) constraints are handled upstream at the
+   Sim(3) pose-graph level (sfm/loops.py, sfm/sim3.py), which is where
+   this framework closes loops; BA refines geometry inside and across
+   adjacent windows.
+
+3. ITERATIVE CAMERA SOLVE.  The reduced camera system S d = rhs is
+   solved by block-Jacobi-preconditioned conjugate gradients with the
+   Schur complement applied IMPLICITLY: S x = (U + lam) x - sum_p W_p
+   V_p^-1 W_p^T x, each term a block-local einsum + window accumulation
+   + psum.  No [C*6, C*6] dense matrix ever exists, so the camera count
+   is bounded by [C, 6] vectors, not C^2 blocks.
+
+Sharding: the block axis B is sharded over the mesh (map partitioning);
+camera-side reductions ride the mesh axis as psums (ICI within a host,
+DCN across hosts via parallel/multihost.py's hybrid mesh).  Landmark
+state stays device-local forever.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ba import BAResult, BAState
+from .geometry import hat, se3_retract
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class TrackBlocks(NamedTuple):
+    """Fixed-capacity sparse observation storage (see module docstring).
+
+    B = map blocks, T = track slots per block, K = obs slots per track.
+    `cam` holds WINDOW-LOCAL camera indices (global = win_start[b] + cam);
+    invalid obs/track slots are masked by `valid` / `tvalid` and carry
+    in-range dummy indices (0).
+    """
+
+    uv: jnp.ndarray         # [B, T, K, 2] f32 pixel observations
+    cam: jnp.ndarray        # [B, T, K] i32 window-local camera index
+    valid: jnp.ndarray      # [B, T, K] bool
+    X: jnp.ndarray          # [B, T, 3] f32 landmark positions
+    tvalid: jnp.ndarray     # [B, T] bool track slot in use
+    win_start: jnp.ndarray  # [B] i32 global index of window camera 0
+
+
+class SparseBAResult(NamedTuple):
+    R: jnp.ndarray            # [C, 3, 3]
+    t: jnp.ndarray            # [C, 3]
+    blocks: TrackBlocks       # X updated
+    cost: jnp.ndarray         # masked mean squared reprojection error
+    cost_history: jnp.ndarray  # [n_iters]
+
+
+def build_track_blocks(
+    track_cams: list[np.ndarray],
+    track_uvs: list[np.ndarray],
+    track_X: np.ndarray,
+    n_cameras: int,
+    c_blk: int = 32,
+    halo: int = 16,
+    max_obs: int = 8,
+    block_capacity: int | None = None,
+    n_blocks_multiple: int = 1,
+) -> tuple[TrackBlocks, int, dict]:
+    """Host-side builder: ragged track lists -> fixed TrackBlocks.
+
+    track_cams[i]: [k_i] global camera ids of track i (sorted);
+    track_uvs[i]: [k_i, 2]; track_X: [n_tracks, 3] initial positions.
+    A track is assigned to the map block of its FIRST camera; its
+    observations outside the block's camera window are dropped (counted
+    in stats) — by construction of windowed odometry they are rare, and
+    long-range constraints belong to the pose graph, not BA.
+
+    Returns (blocks, c_win, stats).  Block/track capacities are padded
+    to static shapes; n_blocks is padded to a multiple of
+    `n_blocks_multiple` (set it to the mesh axis size).
+    """
+    c_win = c_blk + 2 * halo
+    c_win = min(c_win, n_cameras)
+    n_blocks = max(1, -(-n_cameras // c_blk))
+    n_blocks = -(-n_blocks // n_blocks_multiple) * n_blocks_multiple
+
+    per_block: list[list[int]] = [[] for _ in range(n_blocks)]
+    for i, cams in enumerate(track_cams):
+        if len(cams) == 0:
+            continue
+        b = min(int(cams[0]) // c_blk, n_blocks - 1)
+        per_block[b].append(i)
+
+    T = block_capacity or max(1, max(len(p) for p in per_block))
+    K = max_obs
+    uv = np.zeros((n_blocks, T, K, 2), np.float32)
+    cam = np.zeros((n_blocks, T, K), np.int32)
+    valid = np.zeros((n_blocks, T, K), bool)
+    X = np.zeros((n_blocks, T, 3), np.float32)
+    tvalid = np.zeros((n_blocks, T), bool)
+    win_start = np.zeros((n_blocks,), np.int32)
+    dropped_obs = 0
+    dropped_tracks = 0
+    for b in range(n_blocks):
+        ws = int(np.clip(b * c_blk - halo, 0, n_cameras - c_win))
+        win_start[b] = ws
+        for s, i in enumerate(per_block[b]):
+            if s >= T:
+                dropped_tracks += len(per_block[b]) - T
+                break
+            cams = np.asarray(track_cams[i])
+            uvs = np.asarray(track_uvs[i], np.float32)
+            keep = (cams >= ws) & (cams < ws + c_win)
+            dropped_obs += int((~keep).sum())
+            cams, uvs = cams[keep][:K], uvs[keep][:K]
+            dropped_obs += max(len(np.asarray(track_cams[i])[keep]) - K, 0)
+            k = len(cams)
+            if k < 2:          # a <2-view track constrains nothing
+                dropped_tracks += 1
+                continue
+            uv[b, s, :k] = uvs
+            cam[b, s, :k] = cams - ws
+            valid[b, s, :k] = True
+            X[b, s] = track_X[i]
+            tvalid[b, s] = True
+
+    blocks = TrackBlocks(
+        uv=jnp.asarray(uv), cam=jnp.asarray(cam), valid=jnp.asarray(valid),
+        X=jnp.asarray(X), tvalid=jnp.asarray(tvalid),
+        win_start=jnp.asarray(win_start),
+    )
+    stats = {"n_blocks": n_blocks, "capacity": T, "c_win": c_win,
+             "dropped_obs": dropped_obs, "dropped_tracks": dropped_tracks}
+    return blocks, c_win, stats
+
+
+# ---------------------------------------------------------------------------
+# Core (operates on a LOCAL shard of blocks; psums over `axis` if given)
+# ---------------------------------------------------------------------------
+
+
+def _window_slice(arr, win_start, c_win):
+    """[C, ...] -> [B_loc, c_win, ...] per-block windows (tiny gather)."""
+    take = lambda s: jax.lax.dynamic_slice_in_dim(arr, s, c_win, axis=0)
+    return jax.vmap(take)(win_start)
+
+
+def _scatter_windows(contrib, win_start, C):
+    """Sum [B_loc, c_win, ...] window contributions into [C, ...]."""
+    acc = jnp.zeros((C,) + contrib.shape[2:], contrib.dtype)
+
+    def body(a, inp):
+        c, s = inp
+        cur = jax.lax.dynamic_slice_in_dim(a, s, c.shape[0], axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(a, cur + c, s, 0), None
+
+    acc, _ = jax.lax.scan(body, acc, (contrib, win_start))
+    return acc
+
+
+def _obs_terms(R, t, blocks: TrackBlocks, intr, c_win, huber_delta):
+    """Per-observation residuals and Jacobians on the local blocks.
+
+    Returns (onehot [B,T,K,c_win], r [B,T,K,2], Jc [B,T,K,2,6],
+    Jp [B,T,K,2,3], w [B,T,K]).
+    """
+    w = (blocks.valid & blocks.tvalid[..., None]).astype(jnp.float32)
+    onehot = (blocks.cam[..., None]
+              == jnp.arange(c_win, dtype=jnp.int32)).astype(jnp.float32)
+    onehot = onehot * w[..., None]
+
+    R_win = _window_slice(R, blocks.win_start, c_win)   # [B, c_win, 3, 3]
+    t_win = _window_slice(t, blocks.win_start, c_win)   # [B, c_win, 3]
+    # pose selection per observation: exact one-hot matmuls (MXU)
+    R_sel = jnp.einsum("btkw,bwij->btkij", onehot, R_win, precision=_HI)
+    t_sel = jnp.einsum("btkw,bwi->btki", onehot, t_win, precision=_HI)
+
+    Xc = jnp.einsum("btkij,btj->btki", R_sel, blocks.X, precision=_HI) + t_sel
+    z = jnp.where(jnp.abs(Xc[..., 2]) > 1e-9, Xc[..., 2], 1e-9)
+    u = intr[0] * Xc[..., 0] / z + intr[2]
+    v = intr[1] * Xc[..., 1] / z + intr[3]
+    r = (jnp.stack([u, v], axis=-1) - blocks.uv) * w[..., None]
+
+    if huber_delta is not None:
+        # IRLS sqrt-weighting (same scheme as ba.py:lm_bundle_adjust).
+        # onehot stays BINARY: Jc/Jp carry hw via duv and r carries hw,
+        # so accumulations match the dense path's hw^2 exactly.
+        rn = jnp.linalg.norm(r, axis=-1)
+        hw = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-9)))
+        w = w * hw
+        r = r * hw[..., None]
+
+    x, y = Xc[..., 0], Xc[..., 1]
+    fx, fy = intr[0], intr[1]
+    zero = jnp.zeros_like(z)
+    duv = jnp.stack([
+        jnp.stack([fx / z, zero, -fx * x / (z * z)], axis=-1),
+        jnp.stack([zero, fy / z, -fy * y / (z * z)], axis=-1),
+    ], axis=-2) * w[..., None, None]                     # [B,T,K,2,3]
+    dxc_dxi = jnp.concatenate(
+        [-hat(Xc), jnp.broadcast_to(jnp.eye(3), Xc.shape[:-1] + (3, 3))],
+        axis=-1)                                         # [B,T,K,3,6]
+    Jc = duv @ dxc_dxi                                   # [B,T,K,2,6]
+    Jp = duv @ R_sel                                     # [B,T,K,2,3]
+    return onehot, r, Jc, Jp, w
+
+
+def sparse_bundle_adjust(
+    R: jnp.ndarray,           # [C, 3, 3] (replicated)
+    t: jnp.ndarray,           # [C, 3]
+    blocks: TrackBlocks,      # block axis possibly sharded over `mesh`
+    intr: jnp.ndarray,
+    c_win: int,
+    mesh=None,
+    axis: str = "map",
+    n_iters: int = 10,
+    cg_iters: int = 20,
+    lam0: float = 1e-3,
+    fix_first_cam: bool = True,
+    huber_delta: float | None = None,
+) -> SparseBAResult:
+    """LM bundle adjustment on TrackBlocks.  With `mesh`, the block axis
+    is sharded over mesh axis `axis` (map partitioning) and camera
+    reductions are psums; without, runs single-device (parity path)."""
+    C = R.shape[0]
+
+    allsum = (lambda v: jax.lax.psum(v, axis)) if mesh is not None \
+        else (lambda v: v)
+
+    def cost_of(Rg, tg, blk):
+        on, r, *_ = _obs_terms(Rg, tg, blk, intr, c_win, None)
+        n = allsum(jnp.sum(blk.valid & blk.tvalid[..., None]))
+        return allsum(jnp.sum(r * r)) / jnp.maximum(n.astype(jnp.float32), 1.0)
+
+    def lm_step(carry, _):
+        Rg, tg, X, lam = carry
+        blk = blocks._replace(X=X)
+        onehot, r, Jc, Jp, w = _obs_terms(Rg, tg, blk, intr, c_win,
+                                          huber_delta)
+
+        # landmark blocks: pure per-track reductions (no scatter)
+        V = jnp.einsum("btkri,btkrj->btij", Jp, Jp, precision=_HI)      # [B,T,3,3]
+        gp = -jnp.einsum("btkri,btkr->bti", Jp, r, precision=_HI)       # [B,T,3]
+        Vinv = jnp.linalg.inv(V + (lam + 1e-9) * jnp.eye(3))
+        Wm = jnp.einsum("btkri,btkrj->btkij", Jc, Jp, precision=_HI)    # [B,T,K,6,3]
+
+        # camera blocks: one-hot window accumulation + psum
+        JcJc = jnp.einsum("btkri,btkrj->btkij", Jc, Jc, precision=_HI)  # [B,T,K,6,6]
+        U_win = jnp.einsum("btkw,btkij->bwij", onehot, JcJc, precision=_HI)
+        gc_win = -jnp.einsum("btkw,btkri,btkr->bwi", onehot, Jc, r,
+                             precision=_HI)
+        U = allsum(_scatter_windows(U_win, blk.win_start, C))   # [C,6,6]
+        gc = allsum(_scatter_windows(gc_win, blk.win_start, C))  # [C,6]
+        U_d = U + lam * jnp.eye(6)
+
+        # Schur rhs = gc - W Vinv gp (per-obs, window-accumulated)
+        WVg = jnp.einsum("btkij,btjl,btl->btki", Wm, Vinv, gp, precision=_HI)
+        rhs = gc - allsum(_scatter_windows(
+            jnp.einsum("btkw,btki->bwi", onehot, WVg, precision=_HI),
+            blk.win_start, C))
+
+        gauge = jnp.ones((C, 1))
+        if fix_first_cam:
+            gauge = gauge.at[0].set(0.0)
+        rhs = rhs * gauge
+
+        def S_matvec(x):
+            """(U + lam) x - W Vinv W^T x, gauge-masked."""
+            x = x * gauge
+            ux = jnp.einsum("cij,cj->ci", U_d, x, precision=_HI)
+            x_win = _window_slice(x, blk.win_start, c_win)
+            x_sel = jnp.einsum("btkw,bwi->btki", onehot, x_win,
+                               precision=_HI)
+            y = jnp.einsum("btkij,btki->btj", Wm, x_sel, precision=_HI)      # W^T x
+            z2 = jnp.einsum("btij,btj->bti", Vinv, y, precision=_HI)
+            q = jnp.einsum("btkij,btj->btki", Wm, z2, precision=_HI)         # W Vinv W^T x
+            q_win = jnp.einsum("btkw,btki->bwi", onehot, q, precision=_HI)
+            wx = allsum(_scatter_windows(q_win, blk.win_start, C))
+            out = ux - wx
+            if fix_first_cam:
+                out = out * gauge + x * (1.0 - gauge)
+            return out
+
+        # block-Jacobi preconditioner on the EXACT Schur diagonal
+        # S_cc = U_d - sum_p W_cp Vinv_p W_cp^T (each track sees a
+        # camera at most once, so the per-obs quadratic form is the
+        # whole diagonal contribution) — much stronger than U_d alone
+        # when cameras are weakly constrained (f32 CG needs the help)
+        Dq = jnp.einsum("btkij,btjl,btkml->btkim", Wm, Vinv, Wm, precision=_HI)
+        D_win = jnp.einsum("btkw,btkij->bwij", onehot, Dq, precision=_HI)
+        S_diag = U_d - allsum(_scatter_windows(D_win, blk.win_start, C))
+        Minv = jnp.linalg.inv(S_diag + 1e-6 * jnp.eye(6))
+        prec = lambda v: jnp.einsum("cij,cj->ci", Minv, v, precision=_HI) * gauge
+
+        def cg_body(carry, _):
+            x, res, p, rz = carry
+            Sp = S_matvec(p)
+            denom = jnp.sum(p * Sp)
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+            x = x + alpha * p
+            res = res - alpha * Sp
+            z2 = prec(res)
+            rz_new = jnp.sum(res * z2)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+            p = z2 + beta * p
+            return (x, res, p, rz_new), rz_new
+
+        x0 = jnp.zeros((C, 6))
+        z0 = prec(rhs)
+        (d_xi, *_), _ = jax.lax.scan(
+            cg_body, (x0, rhs, z0, jnp.sum(rhs * z0)), None, length=cg_iters)
+        d_xi = d_xi * gauge
+
+        # landmark update (local)
+        dxi_win = _window_slice(d_xi, blk.win_start, c_win)
+        dxi_sel = jnp.einsum("btkw,bwi->btki", onehot, dxi_win, precision=_HI)
+        rhs_p = gp - jnp.einsum("btkij,btki->btj", Wm, dxi_sel, precision=_HI)
+        d_X = jnp.einsum("btij,btj->bti", Vinv, rhs_p, precision=_HI)
+        d_X = d_X * blk.tvalid[..., None]
+
+        R_new, t_new = se3_retract(Rg, tg, d_xi)
+        X_new = X + d_X
+        c_old = cost_of(Rg, tg, blk)
+        c_new = cost_of(R_new, t_new, blk._replace(X=X_new))
+        accept = c_new < c_old
+        Rg = jnp.where(accept, R_new, Rg)
+        tg = jnp.where(accept, t_new, tg)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        return (Rg, tg, X, lam), jnp.where(accept, c_new, c_old)
+
+    def run(Rg, tg, uv, cam, valid, X, tvalid, win_start):
+        nonlocal blocks
+        blocks = TrackBlocks(uv, cam, valid, X, tvalid, win_start)
+        (Rg, tg, X, _), hist = jax.lax.scan(
+            lm_step, (Rg, tg, blocks.X, jnp.float32(lam0)), None,
+            length=n_iters)
+        cost = cost_of(Rg, tg, blocks._replace(X=X))
+        return Rg, tg, X, cost, hist
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        shard = functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis)),
+            out_specs=(P(), P(), P(axis), P(), P()),
+            check_vma=False,
+        )
+        fn = jax.jit(shard(run))
+    else:
+        fn = jax.jit(run)
+
+    orig = blocks
+    Rg, tg, X, cost, hist = fn(R, t, orig.uv, orig.cam, orig.valid, orig.X,
+                               orig.tvalid, orig.win_start)
+    return SparseBAResult(R=Rg, t=tg, blocks=orig._replace(X=X), cost=cost,
+                          cost_history=hist)

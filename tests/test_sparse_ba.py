@@ -1,0 +1,333 @@
+"""Sparse map-block-partitioned BA: parity vs the dense formulation,
+mesh-sharded equivalence, and config-5-scale bounded-memory run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from local_features_tpu.sfm.ba import BAState, lm_bundle_adjust
+from local_features_tpu.sfm.geometry import se3_exp
+from local_features_tpu.sfm.sparse_ba import (
+    TrackBlocks, build_track_blocks, sparse_bundle_adjust)
+
+
+def _synthetic_problem(rng, n_cams=12, n_tracks=60, span=6, noise=0.5,
+                       drift=0.02):
+    """Cameras translating along x looking at +z points; each track is
+    visible in `span` consecutive cameras starting at a random camera.
+    Returns ground truth, noisy initialization, and ragged track lists."""
+    intr = np.array([300.0, 300.0, 64.0, 64.0], np.float32)
+    t_gt = np.stack([
+        0.3 * np.arange(n_cams), np.zeros(n_cams), np.zeros(n_cams)
+    ], axis=1).astype(np.float32)
+    R_gt = np.broadcast_to(np.eye(3, dtype=np.float32),
+                           (n_cams, 3, 3)).copy()
+    # world points in front of the trajectory
+    X_gt = np.stack([
+        rng.uniform(-1, 0.3 * n_cams, n_tracks),
+        rng.uniform(-2, 2, n_tracks),
+        rng.uniform(4, 8, n_tracks),
+    ], axis=1).astype(np.float32)
+
+    track_cams, track_uvs = [], []
+    for i in range(n_tracks):
+        c0 = int(rng.integers(0, max(n_cams - span, 1)))
+        cams = np.arange(c0, min(c0 + span, n_cams))
+        Xc = X_gt[i] @ np.swapaxes(R_gt[cams], 1, 2).transpose(0, 2, 1)
+        Xc = np.einsum("cij,j->ci", R_gt[cams], X_gt[i]) + t_gt[cams]
+        uv = np.stack([
+            intr[0] * Xc[:, 0] / Xc[:, 2] + intr[2],
+            intr[1] * Xc[:, 1] / Xc[:, 2] + intr[3],
+        ], axis=1)
+        uv += noise * rng.standard_normal(uv.shape)
+        track_cams.append(cams)
+        track_uvs.append(uv.astype(np.float32))
+
+    # noisy initialization: small pose perturbations + point noise
+    xi = (drift * rng.standard_normal((n_cams, 6))).astype(np.float32)
+    xi[0] = 0.0
+    dR, dt = se3_exp(jnp.asarray(xi))
+    R0 = np.asarray(dR @ R_gt)
+    t0 = np.asarray(
+        jnp.einsum("cij,cj->ci", dR, jnp.asarray(t_gt)) + dt)
+    X0 = X_gt + 0.05 * rng.standard_normal(X_gt.shape).astype(np.float32)
+    return intr, (R_gt, t_gt, X_gt), (R0, t0, X0), (track_cams, track_uvs)
+
+
+def _dense_from_tracks(track_cams, track_uvs, n_cams, X0):
+    P = len(track_cams)
+    uv = np.zeros((n_cams, P, 2), np.float32)
+    mask = np.zeros((n_cams, P), bool)
+    for i, (cams, uvs) in enumerate(zip(track_cams, track_uvs)):
+        uv[cams, i] = uvs
+        mask[cams, i] = True
+    return jnp.asarray(uv), jnp.asarray(mask)
+
+
+def test_sparse_matches_dense_ba():
+    """Same problem through the dense Schur solve and the sparse CG
+    formulation: both must converge to the same cost basin."""
+    rng = np.random.default_rng(0)
+    intr, gt, init, tracks = _synthetic_problem(rng)
+    R0, t0, X0 = init
+    track_cams, track_uvs = tracks
+    n_cams = R0.shape[0]
+
+    uv, mask = _dense_from_tracks(track_cams, track_uvs, n_cams, X0)
+    dense = lm_bundle_adjust(
+        BAState(R=jnp.asarray(R0), t=jnp.asarray(t0), X=jnp.asarray(X0)),
+        uv, mask, jnp.asarray(intr), n_iters=12)
+
+    blocks, c_win, stats = build_track_blocks(
+        track_cams, track_uvs, X0, n_cams, c_blk=4, halo=6, max_obs=8)
+    assert stats["dropped_obs"] == 0 and stats["dropped_tracks"] == 0
+    sparse = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, n_iters=12, cg_iters=30)
+
+    c_dense = float(dense.cost)
+    c_sparse = float(sparse.cost)
+    # both reach the noise floor; identical basin within 5%
+    assert c_sparse < float(_initial_cost(R0, t0, X0, uv, mask, intr)) / 5
+    assert abs(c_sparse - c_dense) < 0.05 * max(c_dense, 1e-6), \
+        (c_sparse, c_dense)
+
+    # Single-step parity: one damped GN step.  The linear SYSTEMS are
+    # identical (test_sparse_assembly_matches_dense below, to float
+    # precision); the solves differ by f32 CG tolerance on this
+    # deliberately ill-conditioned collinear-camera problem
+    # (cond(S) ~ 1e10 measured), so the step comparison is loose.
+    dense1 = lm_bundle_adjust(
+        BAState(R=jnp.asarray(R0), t=jnp.asarray(t0), X=jnp.asarray(X0)),
+        uv, mask, jnp.asarray(intr), n_iters=1)
+    sparse1 = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, n_iters=1, cg_iters=60)
+    np.testing.assert_allclose(np.asarray(sparse1.t),
+                               np.asarray(dense1.state.t), atol=0.1)
+
+
+def test_sparse_assembly_matches_dense():
+    """The rigorous formulation-parity check: the sparse layout must
+    assemble the SAME normal equations and apply the SAME Schur
+    complement as the dense path — U, g_c, the reduced rhs, and S@x on
+    random vectors, all to f32 precision."""
+    import local_features_tpu.sfm.sparse_ba as sba
+    from local_features_tpu.sfm import ba
+
+    _HI = jax.lax.Precision.HIGHEST
+    rng = np.random.default_rng(0)
+    intr, gt, init, tracks = _synthetic_problem(rng)
+    R0, t0, X0 = init
+    C = R0.shape[0]
+    uv, mask = _dense_from_tracks(*tracks, C, X0)
+    maskf = mask.astype(jnp.float32)
+    st = BAState(R=jnp.asarray(R0), t=jnp.asarray(t0), X=jnp.asarray(X0))
+    r, Xc = ba.reprojection_residuals(st, uv, maskf, jnp.asarray(intr))
+    Jc, Jp = ba._jacobians(st, Xc, jnp.asarray(intr), maskf)
+    U, V, Wm, gc, gp = ba._normal_equations(Jc, Jp, r)
+    lam = 1e-3
+    Vinv = np.linalg.inv(np.asarray(V) + (lam + 1e-9) * np.eye(3))
+    WVinv = np.einsum("cpij,pjk->cpik", np.asarray(Wm), Vinv)
+    S_off = np.einsum("apik,bpjk->abij", WVinv, np.asarray(Wm))
+    S = -S_off
+    S[np.arange(C), np.arange(C)] += np.asarray(U) + lam * np.eye(6)
+    rhs_d = np.asarray(gc) - np.einsum("cpik,pk->ci", WVinv, np.asarray(gp))
+    m = np.ones(C)
+    m[0] = 0
+    S = S * m[:, None, None, None] * m[None, :, None, None]
+    S[0, 0] = np.eye(6)
+    rhs_d = rhs_d * m[:, None]
+    Sf = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+
+    blocks, c_win, _ = build_track_blocks(*tracks, X0, C, c_blk=4, halo=6)
+    onehot, r2, Jc2, Jp2, _ = sba._obs_terms(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, None)
+    V2 = jnp.einsum("btkri,btkrj->btij", Jp2, Jp2, precision=_HI)
+    gp2 = -jnp.einsum("btkri,btkr->bti", Jp2, r2, precision=_HI)
+    Vinv2 = jnp.linalg.inv(V2 + (lam + 1e-9) * jnp.eye(3))
+    Wm2 = jnp.einsum("btkri,btkrj->btkij", Jc2, Jp2, precision=_HI)
+    JcJc = jnp.einsum("btkri,btkrj->btkij", Jc2, Jc2, precision=_HI)
+    U2 = sba._scatter_windows(
+        jnp.einsum("btkw,btkij->bwij", onehot, JcJc, precision=_HI),
+        blocks.win_start, C)
+    gc2 = sba._scatter_windows(
+        -jnp.einsum("btkw,btkri,btkr->bwi", onehot, Jc2, r2, precision=_HI),
+        blocks.win_start, C)
+    scale_U = float(jnp.abs(U).max())
+    assert float(jnp.abs(U - U2).max()) < 3e-6 * scale_U
+    assert float(jnp.abs(gc - gc2).max()) < 3e-6 * float(jnp.abs(gc).max())
+
+    WVg = jnp.einsum("btkij,btjl,btl->btki", Wm2, Vinv2, gp2, precision=_HI)
+    rhs_s = gc2 - sba._scatter_windows(
+        jnp.einsum("btkw,btki->bwi", onehot, WVg, precision=_HI),
+        blocks.win_start, C)
+    gauge = jnp.ones((C, 1)).at[0].set(0.0)
+    rhs_s = rhs_s * gauge
+    assert float(jnp.abs(rhs_s - rhs_d).max()) < 3e-6 * np.abs(rhs_d).max()
+
+    def S_matvec(x):
+        x = x * gauge
+        ux = jnp.einsum("cij,cj->ci", U2 + lam * jnp.eye(6), x,
+                        precision=_HI)
+        x_win = sba._window_slice(x, blocks.win_start, c_win)
+        x_sel = jnp.einsum("btkw,bwi->btki", onehot, x_win, precision=_HI)
+        y = jnp.einsum("btkij,btki->btj", Wm2, x_sel, precision=_HI)
+        z2 = jnp.einsum("btij,btj->bti", Vinv2, y, precision=_HI)
+        q = jnp.einsum("btkij,btj->btki", Wm2, z2, precision=_HI)
+        q_win = jnp.einsum("btkw,btki->bwi", onehot, q, precision=_HI)
+        out = ux - sba._scatter_windows(q_win, blocks.win_start, C)
+        return out * gauge + x * (1.0 - gauge)
+
+    rv = np.random.default_rng(1).standard_normal((C, 6)).astype(np.float32)
+    sv_dense = (Sf @ rv.reshape(-1)).reshape(C, 6)
+    sv_sparse = np.asarray(S_matvec(jnp.asarray(rv)))
+    assert np.abs(sv_dense - sv_sparse).max() < 3e-6 * np.abs(sv_dense).max()
+
+
+def _initial_cost(R0, t0, X0, uv, mask, intr):
+    from local_features_tpu.sfm.ba import reprojection_residuals
+
+    r, _ = reprojection_residuals(
+        BAState(R=jnp.asarray(R0), t=jnp.asarray(t0), X=jnp.asarray(X0)),
+        uv, mask.astype(jnp.float32), jnp.asarray(intr))
+    return jnp.sum(r * r) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def test_sparse_ba_mesh_matches_single_device():
+    """Map blocks sharded over an 8-device mesh must reproduce the
+    single-device result exactly (same math, psum'd reductions)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(1)
+    intr, gt, init, tracks = _synthetic_problem(rng, n_cams=16, n_tracks=80)
+    R0, t0, X0 = init
+    track_cams, track_uvs = tracks
+
+    blocks, c_win, _ = build_track_blocks(
+        track_cams, track_uvs, X0, 16, c_blk=2, halo=6, max_obs=8,
+        n_blocks_multiple=8)
+    single = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, n_iters=6, cg_iters=20)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("map",))
+    sharded = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, mesh=mesh, axis="map", n_iters=6, cg_iters=20)
+
+    np.testing.assert_allclose(float(sharded.cost), float(single.cost),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_sparse_ba_rejects_outliers_with_huber():
+    rng = np.random.default_rng(2)
+    intr, gt, init, tracks = _synthetic_problem(rng, noise=0.2)
+    R0, t0, X0 = init
+    track_cams, track_uvs = tracks
+    # corrupt 5% of observations
+    for i in range(0, len(track_uvs), 20):
+        track_uvs[i][0] += 80.0
+    blocks, c_win, _ = build_track_blocks(
+        track_cams, track_uvs, X0, R0.shape[0], c_blk=4, halo=6)
+    plain = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, n_iters=10)
+    robust = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, n_iters=10, huber_delta=2.0)
+    # robust solution's cameras are closer to ground truth
+    _, (R_gt, t_gt, _), _, _ = (None, gt, None, None)
+    e_plain = float(jnp.mean(jnp.sum(
+        (plain.t - jnp.asarray(t_gt)) ** 2, -1)))
+    e_rob = float(jnp.mean(jnp.sum(
+        (robust.t - jnp.asarray(t_gt)) ** 2, -1)))
+    assert e_rob < e_plain, (e_rob, e_plain)
+
+
+@pytest.mark.slow
+def test_sparse_ba_config5_scale():
+    """BASELINE config-5 scale shape: 1,000 cameras / 100k tracks /
+    ~500k observations on the 8-device CPU mesh.  The dense [C, P] mask
+    alone would be 1e8 entries; the blocked layout holds the whole
+    problem in ~50 MB and one LM+CG iteration must run with bounded
+    memory and reduce the cost."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(3)
+    n_cams, n_tracks, K = 1000, 100_000, 5
+    intr = np.array([300.0, 300.0, 64.0, 64.0], np.float32)
+    # camera centers march along +x; t = -c for R = I
+    t_gt = np.stack([-0.1 * np.arange(n_cams), np.zeros(n_cams),
+                     np.zeros(n_cams)], 1).astype(np.float32)
+    R_gt = np.broadcast_to(np.eye(3, dtype=np.float32), (n_cams, 3, 3))
+
+    # vectorized synthetic tracks: each starts at a random camera and
+    # sits in front of its observing window (bounded projections)
+    c0 = rng.integers(0, n_cams - K, n_tracks)
+    cams = c0[:, None] + np.arange(K)[None, :]            # [P, K]
+    X_gt = np.stack([
+        0.1 * (c0 + K / 2) + rng.uniform(-1, 1, n_tracks),
+        rng.uniform(-2, 2, n_tracks),
+        rng.uniform(4, 8, n_tracks),
+    ], 1).astype(np.float32)
+    Xc = X_gt[:, None, :] + t_gt[cams]                     # R = I
+    uv = np.stack([
+        intr[0] * Xc[..., 0] / Xc[..., 2] + intr[2],
+        intr[1] * Xc[..., 1] / Xc[..., 2] + intr[3],
+    ], -1).astype(np.float32)
+    uv += 0.3 * rng.standard_normal(uv.shape).astype(np.float32)
+
+    # blocked storage built directly (vectorized; the ragged builder is
+    # exercised by the small tests)
+    c_blk, halo = 32, 8
+    c_win = c_blk + 2 * halo
+    n_blocks = -(-n_cams // c_blk)
+    n_blocks = -(-n_blocks // 8) * 8
+    b_of = np.minimum(c0 // c_blk, n_blocks - 1)
+    win_start = np.clip(np.arange(n_blocks) * c_blk - halo, 0,
+                        n_cams - c_win).astype(np.int32)
+    T = int(np.bincount(b_of, minlength=n_blocks).max())
+    slot = np.zeros(n_blocks, np.int64)
+    uv_b = np.zeros((n_blocks, T, K, 2), np.float32)
+    cam_b = np.zeros((n_blocks, T, K), np.int32)
+    val_b = np.zeros((n_blocks, T, K), bool)
+    X_b = np.zeros((n_blocks, T, 3), np.float32)
+    tval_b = np.zeros((n_blocks, T), bool)
+    order = np.argsort(b_of, kind="stable")
+    sidx = np.zeros(n_tracks, np.int64)
+    for i in order:
+        b = b_of[i]
+        sidx[i] = slot[b]
+        slot[b] += 1
+    uv_b[b_of, sidx] = uv
+    cam_b[b_of, sidx] = (cams - win_start[b_of][:, None]).astype(np.int32)
+    val_b[b_of, sidx] = (cams >= win_start[b_of][:, None]) & \
+        (cams < (win_start[b_of] + c_win)[:, None])
+    X_b[b_of, sidx] = X_gt + 0.05 * rng.standard_normal(
+        X_gt.shape).astype(np.float32)
+    tval_b[b_of, sidx] = True
+    assert val_b[tval_b].all(), "windows must cover all observations"
+
+    blocks = TrackBlocks(
+        uv=jnp.asarray(uv_b), cam=jnp.asarray(cam_b),
+        valid=jnp.asarray(val_b), X=jnp.asarray(X_b),
+        tvalid=jnp.asarray(tval_b), win_start=jnp.asarray(win_start))
+
+    xi = (0.002 * rng.standard_normal((n_cams, 6))).astype(np.float32)
+    xi[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi))
+    R0 = np.asarray(dR @ jnp.asarray(R_gt.copy()))
+    t0 = np.asarray(jnp.einsum("cij,cj->ci", dR, jnp.asarray(t_gt)) + dt)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("map",))
+    res = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, mesh=mesh, axis="map", n_iters=3, cg_iters=10)
+    hist = np.asarray(res.cost_history)
+    assert hist[-1] < hist[0], hist
+    assert float(res.cost) < 5.0, float(res.cost)
