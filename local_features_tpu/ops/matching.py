@@ -82,3 +82,71 @@ def mutual_match(
         mask &= valid_a
     return Matches(indices=jnp.where(mask, a_best, -1),
                    scores=best_ab, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Batched sequence matching
+# ---------------------------------------------------------------------------
+
+import functools
+
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _match_pairs_batched(da, db, va, vb, ratio):
+    return jax.vmap(
+        lambda a, b, x, y: mutual_match(a, b, x, y, ratio=ratio)
+    )(da, db, va, vb)
+
+
+def pad_descriptor_sequence(feats, capacity: int | None = None):
+    """Stack an ordered list of FeaturesResult (or anything with a
+    `.descriptors` [n_i, D] array) into (descs [F, K, D], valid [F, K])
+    with a fixed power-of-two capacity K — the layout the batched
+    matchers below consume."""
+    ds = [np.asarray(f.descriptors, np.float32) for f in feats]
+    n_max = max((len(d) for d in ds), default=1)
+    K = capacity or max(64, 1 << max(0, n_max - 1).bit_length())
+    D = ds[0].shape[1] if ds and ds[0].size else 128
+    descs = np.zeros((len(ds), K, D), np.float32)
+    valid = np.zeros((len(ds), K), bool)
+    for i, d in enumerate(ds):
+        descs[i, : len(d)] = d[:K]
+        valid[i, : len(d)] = True
+    return descs, valid
+
+
+def match_consecutive(
+    descs: np.ndarray,      # [F, K, D]
+    valid: np.ndarray,      # [F, K]
+    ratio: float = 0.8,
+    batch: int = 8,
+) -> list[np.ndarray]:
+    """Mutual-match every consecutive pair of an ordered sequence at
+    bench-level throughput: `batch` pairs per vmapped device call (ONE
+    dispatch + ONE host fetch per batch instead of one per pair — the
+    per-pair loop's dispatch/fetch overhead dominates at config-4/5
+    sequence lengths).  Returns [F-1] arrays of [M, 2] index pairs."""
+    F = descs.shape[0]
+    if F < 2:
+        return []
+    n_pairs = F - 1
+    batch = max(1, min(int(batch), n_pairs))
+    out: list[np.ndarray] = []
+    for s in range(0, n_pairs, batch):
+        e = min(s + batch, n_pairs)
+        pad = batch - (e - s)
+        sl = lambda a, o: np.concatenate(
+            [a[s + o: e + o], np.repeat(a[e + o - 1: e + o], pad, axis=0)]
+        ) if pad else a[s + o: e + o]
+        m = _match_pairs_batched(
+            jnp.asarray(sl(descs, 0)), jnp.asarray(sl(descs, 1)),
+            jnp.asarray(sl(valid, 0)), jnp.asarray(sl(valid, 1)),
+            float(ratio))
+        idx = np.asarray(m.indices)
+        ok = np.asarray(m.mask)
+        for b in range(e - s):
+            rows = np.flatnonzero(ok[b])
+            out.append(np.stack([rows, idx[b][rows]], axis=1))
+    return out

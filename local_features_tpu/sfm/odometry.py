@@ -20,7 +20,7 @@ import numpy as np
 from ..api import LocalFeatures
 from . import geometry as geo
 from .ba import BAState, lm_bundle_adjust
-from .pipeline import (Reconstruction, _match_pair, build_observations,
+from .pipeline import (Reconstruction, build_observations,
                        reconstruct_sequence)
 from .pose_graph import PoseGraph, optimize
 from .two_view import triangulate_multiview
@@ -116,10 +116,14 @@ def reconstruct_long_sequence(
     lf = engine or LocalFeatures(max_features=max_features,
                                  n_scales=n_scales)
     # detect features + match consecutive pairs ONCE, share across windows
-    # (batched front-end: one device call per 8 frames, bench-level rate)
+    # (batched front-end AND batched matching: one device call per 8
+    # frames / 8 pairs — per-pair dispatch+fetch otherwise dominates at
+    # config-4/5 sequence lengths)
+    from ..ops.matching import match_consecutive, pad_descriptor_sequence
+
     feats = lf.detect_sequence(frames, max_features)
-    all_matches = [_match_pair(feats[f].descriptors, feats[f + 1].descriptors)
-                   for f in range(F - 1)]
+    descs, dvalid = pad_descriptor_sequence(feats)
+    all_matches = match_consecutive(descs, dvalid)
 
     stride = window - overlap
     starts = list(range(0, F - window + 1, stride))

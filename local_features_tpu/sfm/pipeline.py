@@ -151,10 +151,10 @@ def reconstruct_sequence(
     if matches is not None:
         pair_matches = matches
     else:
-        pair_matches = []
-        for f in range(F - 1):
-            pair_matches.append(_match_pair(feats[f].descriptors,
-                                            feats[f + 1].descriptors, ratio))
+        from ..ops.matching import match_consecutive, pad_descriptor_sequence
+
+        descs, dvalid = pad_descriptor_sequence(feats)
+        pair_matches = match_consecutive(descs, dvalid, ratio=ratio)
 
     uv, mask = build_observations(feats, pair_matches, min_track_len)
     P = uv.shape[1]

@@ -49,6 +49,60 @@ def _scene(rng, n_cams=4, n_pts=64, noise=0.2):
     return R, t, X, uv, np.asarray(z) > 0.1
 
 
+def _frontend_phase(mesh, n_proc, pid, n_local):
+    """Sharded FRONT-END + cross-frame matching across processes: frames
+    are sharded over the hybrid (dcn, frames) mesh, detection runs
+    data-parallel, and the cyclic next-frame matching crosses the
+    process boundary (a real DCN collective permute).  Scalar outputs
+    are globally reduced, so every process can check them against its
+    own unsharded reference run."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from local_features_tpu.ops.frontend import FrontendConfig
+    from local_features_tpu.ops.matching import match_descriptors
+    from local_features_tpu.parallel import batched_detect_extract
+    from local_features_tpu.pca import load_pca
+
+    cfg = FrontendConfig(n_scales=3, max_blobs=128, max_keypoints=64,
+                         max_filtered=64, sampler="xla")
+    mean, proj = load_pca().attenuated
+    mean, proj = jnp.asarray(mean), jnp.asarray(proj)
+
+    B = n_proc * n_local              # one frame per global device
+    rng = np.random.default_rng(1)    # identical frames in every process
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    frames = np.stack([
+        0.5 + 0.3 * np.sin(xx / (3 + b)) * np.cos(yy / (4 + b))
+        + 0.05 * rng.standard_normal((64, 64))
+        for b in range(B)
+    ]).astype(np.float32)
+
+    def step(imgs):
+        res = batched_detect_extract(imgs, cfg, mean, proj, 64, 0.0, 24.0)
+        d = res.descriptors
+        m = jax.vmap(match_descriptors)(
+            d, jnp.roll(d, -1, axis=0),           # crosses the DCN axis
+            res.valid, jnp.roll(res.valid, -1, axis=0))
+        return jnp.sum(res.n_keypoints), jnp.sum(m.mask)
+
+    spec = P(("dcn", "frames"))
+    lo, hi = pid * B // n_proc, (pid + 1) * B // n_proc
+    frames_g = multihost.host_local_to_global(mesh, spec, frames[lo:hi])
+    sharded_fn = jax.jit(
+        step, in_shardings=NamedSharding(mesh, spec),
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())))
+    n_kp_g, n_m_g = jax.tree.map(
+        lambda a: int(np.asarray(a)), sharded_fn(frames_g))
+
+    # unsharded reference on the full frame set (local single process)
+    n_kp_r, n_m_r = jax.tree.map(
+        lambda a: int(np.asarray(a)), jax.jit(step)(jnp.asarray(frames)))
+    assert n_kp_g == n_kp_r and n_kp_g > 0, (n_kp_g, n_kp_r)
+    assert n_m_g == n_m_r, (n_m_g, n_m_r)
+    return n_kp_g, n_m_g
+
+
 def main() -> int:
     port, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     multihost.initialize(coordinator_address=f"localhost:{port}",
@@ -57,6 +111,11 @@ def main() -> int:
     n_local = jax.local_device_count()
     assert jax.device_count() == n_proc * n_local, (
         jax.device_count(), n_proc, n_local)
+
+    # phase 1: sharded front-end + matching over the hybrid mesh
+    fe_mesh = multihost.hybrid_mesh(ici_axes={"frames": n_local},
+                                    dcn_axes={"dcn": n_proc})
+    n_kp, n_m = _frontend_phase(fe_mesh, n_proc, pid, n_local)
 
     # [dcn, landmarks] hybrid mesh; the landmark shard axis spans BOTH,
     # so the camera-system psum crosses processes over the DCN axis
@@ -109,7 +168,7 @@ def main() -> int:
                                t_si / np.linalg.norm(t_si), atol=5e-3)
     multihost.sync_global_devices("done")
     print(f"OK process={pid} cost_sharded={cost_sh:.4f} "
-          f"cost_single={cost_si:.4f}")
+          f"cost_single={cost_si:.4f} frontend_kp={n_kp} matches={n_m}")
     return 0
 
 

@@ -15,7 +15,6 @@ from pathlib import Path
 
 import pytest
 
-N_PROC = 2
 LOCAL_DEVICES = 4
 
 
@@ -26,7 +25,12 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_sharded_ba():
+@pytest.mark.parametrize("n_proc", [2, 4])
+def test_multi_process_sharded_frontend_and_ba(n_proc):
+    """N real OS processes x 4 virtual CPU devices each: sharded
+    front-end + cross-process matching (DCN collective permute) AND
+    landmark-sharded BA, both on the hybrid mesh.  n_proc=4 covers the
+    >2-process coordination path."""
     worker = Path(__file__).parent / "multihost_worker.py"
     port = _free_port()
     env = dict(os.environ)
@@ -36,10 +40,10 @@ def test_two_process_sharded_ba():
         f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(port), str(N_PROC), str(pid)],
+            [sys.executable, str(worker), str(port), str(n_proc), str(pid)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for pid in range(N_PROC)
+        for pid in range(n_proc)
     ]
     outs = []
     try:
@@ -53,3 +57,4 @@ def test_two_process_sharded_ba():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"OK process={pid}" in out, out
+        assert "frontend_kp=" in out, out
