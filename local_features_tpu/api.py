@@ -24,12 +24,53 @@ from .pca import load_pca
 from .types import FeaturesResult, Keypoint
 
 
+def scale_space_footprint(n_scales: int) -> int:
+    """Total right/bottom border footprint of the front-end's conv
+    chain: base blur (radius 2) + SWT levels (radius 2 * 2^l for
+    l = 0..n_scales+1) + fine-volume subs + mip-pyramid blurs.  An image
+    mirror-extended by this many pixels produces scale-space /
+    fine-volume / mip values inside its actual extent that match an
+    exact-shape run (the one-shot-mirror argument,
+    ops/scale_space.py:scale_space_prepad), to f32 summation order."""
+    swt = 2 * (2 ** (n_scales + 2) - 1)       # sum of dilated radii
+    return 2 + swt + 2 * 2 ** max(n_scales - 1, 0) + 32
+
+
+def _prepad_canvas(img: np.ndarray, Hp: int, Wp: int, T: int) -> np.ndarray:
+    """Place `img` at the origin of an (Hp, Wp) canvas, mirror-extended
+    (edge-repeated symmetric — MirroredRepeat at pixel centers) by up to
+    T pixels right/bottom, zero beyond.  Extending columns after rows
+    makes the corner the two-axis symmetric extension."""
+    from .ops.scale_space import mirror_index_np
+
+    h, w = img.shape
+    canvas = np.zeros((Hp, Wp), np.float32)
+    ey = mirror_index_np(np.arange(h, min(h + T, Hp)), h)
+    ex = mirror_index_np(np.arange(w, min(w + T, Wp)), w)
+    block = np.empty((h + len(ey), w + len(ex)), np.float32)
+    block[:h, :w] = img
+    block[h:, :w] = img[ey]
+    block[:, w:] = block[:, ex]
+    canvas[: block.shape[0], : block.shape[1]] = block
+    return canvas
+
+
 class LocalFeatures:
     """Scale-space keypoint detector + MKD descriptor engine on TPU.
 
-    Parameters mirror BuildTimeParams (lib.rs:55-75).  `max_image_*` are
-    accepted for API parity but shapes are handled per-call: each distinct
-    input (H, W) compiles once and is cached.
+    Parameters mirror BuildTimeParams (lib.rs:55-75).  Two shape modes:
+
+    - max_image_* = 0 (default): shapes handled per call — each distinct
+      (H, W) compiles once and is cached (best per-frame throughput for
+      fixed-size streams).
+    - max_image_* > 0: the reference's one-engine-any-size contract
+      (vulkan/mod.rs:271-291) — ONE compiled executable at the padded
+      max shape serves every frame with H <= max_image_height and
+      W <= max_image_width with zero recompilation.  Frames are placed
+      at the origin of a mirror-extended canvas (exact scale-space
+      values inside the actual extent; see scale_space_footprint) and
+      the actual (h, w) flows through as traced scalars.  The price is
+      computing at the padded max shape every call.
     """
 
     def __init__(
@@ -48,8 +89,13 @@ class LocalFeatures:
             # Pallas sampler on TPU; exact XLA gather elsewhere (CPU tests)
             sampler = "pallas" if jax.default_backend() != "cpu" else "xla"
         self.sampler = sampler
-        self.max_image_width = max_image_width
-        self.max_image_height = max_image_height
+        self.max_image_width = int(max_image_width)
+        self.max_image_height = int(max_image_height)
+        self._padded = self.max_image_width > 0 and self.max_image_height > 0
+        self._footprint = scale_space_footprint(int(n_scales))
+        if self._padded:
+            self._pad_shape = (self.max_image_height + self._footprint,
+                               self.max_image_width + self._footprint)
         self.max_features = int(max_features)
         self.max_blobs = int(max_blobs)
         self.n_scales = int(n_scales)
@@ -63,7 +109,7 @@ class LocalFeatures:
     # -- compiled pipeline -------------------------------------------------
 
     def _compiled(self, shape: tuple[int, int], all_blobs: bool) -> Callable:
-        key = (shape, all_blobs)
+        key = (shape, all_blobs, self._padded)
         fn = self._jit_cache.get(key)
         if fn is None:
             cfg = FrontendConfig(
@@ -74,11 +120,19 @@ class LocalFeatures:
                 sampler=self.sampler,
             )
 
-            @functools.partial(jax.jit, static_argnums=())
-            def fn(img, top_n, min_size, psf):
-                return detect_extract(
-                    img, cfg, self._mean, self._proj, top_n, min_size, psf
-                )
+            if self._padded:
+                @functools.partial(jax.jit, static_argnums=())
+                def fn(img, top_n, min_size, psf, extent):
+                    return detect_extract(
+                        img, cfg, self._mean, self._proj, top_n, min_size,
+                        psf, extent=extent,
+                    )
+            else:
+                @functools.partial(jax.jit, static_argnums=())
+                def fn(img, top_n, min_size, psf):
+                    return detect_extract(
+                        img, cfg, self._mean, self._proj, top_n, min_size, psf
+                    )
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]
@@ -221,6 +275,19 @@ class LocalFeatures:
         img = np.asarray(img, dtype=np.float32)
         if img.ndim != 2:
             raise ValueError(f"expected [H, W] grayscale image, got {img.shape}")
+        if self._padded:
+            h, w = img.shape
+            if h > self.max_image_height or w > self.max_image_width:
+                raise ValueError(
+                    f"image {img.shape} exceeds engine max "
+                    f"({self.max_image_height}, {self.max_image_width})")
+            canvas = _prepad_canvas(img, *self._pad_shape, self._footprint)
+            fn = self._compiled(self._pad_shape, all_blobs)
+            res = fn(jnp.asarray(canvas), jnp.int32(top_n),
+                     jnp.float32(min_size),
+                     jnp.float32(self.patch_scale_factor),
+                     (jnp.int32(h), jnp.int32(w)))
+            return self._to_host(res)
         fn = self._compiled(img.shape, all_blobs)
         res = fn(jnp.asarray(img), jnp.int32(top_n),
                  jnp.float32(min_size), jnp.float32(self.patch_scale_factor))

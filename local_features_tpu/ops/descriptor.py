@@ -63,12 +63,19 @@ def sample_patches(
     kangle_deg: jnp.ndarray,
     kvalid: jnp.ndarray,
     patch_scale_factor: jnp.ndarray | float = C.DEFAULT_PATCH_SCALE_FACTOR,
+    act_widths: jnp.ndarray | None = None,
+    act_heights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """[K, 32, 32] rotated/scaled patches from the flat mip pyramid.
 
     Per-keypoint mip level = floor(log2(size * psf / 32)) with residual
     scale applied in the rotation grid (patch_gradients.glsl:46-70);
     bilinear sampling with mirror border at pixel-center coordinates.
+
+    `act_widths`/`act_heights` (pad-to-max mode): per-level ACTUAL mip
+    extents — mirror folds wrap at the actual borders while flat
+    indexing keeps the padded layout strides, so sampling matches an
+    exact-shape run of the same image.
     """
     K = kx.shape[0]
     psf = jnp.asarray(patch_scale_factor, jnp.float32)
@@ -90,6 +97,8 @@ def sample_patches(
 
     w = pyr.widths[level][:, None, None]
     h = pyr.heights[level][:, None, None]
+    fw = w if act_widths is None else act_widths[level][:, None, None]
+    fh = h if act_heights is None else act_heights[level][:, None, None]
     base = pyr.offsets[level][:, None, None]
 
     x0 = jnp.floor(sx)
@@ -100,9 +109,10 @@ def sample_patches(
     y0 = y0.astype(jnp.int32)
 
     def at(xi, yi):
-        xm = _mirror_idx(xi, w)
-        ym = _mirror_idx(yi, h)
-        return jnp.take(pyr.flat, base + ym * w + xm, axis=0)
+        xm = _mirror_idx(xi, fw)    # fold at the ACTUAL extent ...
+        ym = _mirror_idx(yi, fh)
+        return jnp.take(pyr.flat, base + ym * w + xm, axis=0)  # ... index
+        # with the padded layout stride
 
     patch = ((1 - fy) * ((1 - fx) * at(x0, y0) + fx * at(x0 + 1, y0))
              + fy * ((1 - fx) * at(x0, y0 + 1) + fx * at(x0 + 1, y0 + 1)))

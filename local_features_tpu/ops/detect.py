@@ -52,6 +52,7 @@ def dense_candidates(
     fine: jnp.ndarray,
     border: int = C.DETECT_BORDER,
     contrast_threshold: float = C.CONTRAST_THRESHOLD,
+    extent=None,
 ):
     """Dense candidate fields over the interior of the fine volume.
 
@@ -61,6 +62,12 @@ def dense_candidates(
       - |v| > threshold, 26-neighbor `sign(v)*v >= sign(v)*nb`
       - 3x3 Hessian quadratic refinement; any |offset| > 0.5 rejects
       - curvature-anisotropy edge rejection, cm in [0.7, 1.5]
+
+    `extent` = traced (h, w): the ACTUAL image extent for the
+    pad-to-max single-compile mode — the border mask is evaluated
+    against it instead of the (padded) static shape, so candidates in
+    the pad region are rejected exactly as the reference rejects
+    candidates outside [border, dim - border).
     """
     L, H, W = fine.shape
     v = _shift3(fine, 0, 0, 0)
@@ -76,10 +83,12 @@ def dense_candidates(
 
     # border mask (x, y in [border, dim - border); z interior already)
     b = max(border, 1)
+    h_act = H if extent is None else extent[0]
+    w_act = W if extent is None else extent[1]
     ys = jnp.arange(1, H - 1)
     xs = jnp.arange(1, W - 1)
-    in_border = ((ys >= b) & (ys < H - b))[None, :, None] & (
-        (xs >= b) & (xs < W - b)
+    in_border = ((ys >= b) & (ys < h_act - b))[None, :, None] & (
+        (xs >= b) & (xs < w_act - b)
     )[None, None, :]
     is_ext &= in_border
 
@@ -213,6 +222,7 @@ def detect_blobs(
     border: int = C.DETECT_BORDER,
     contrast_threshold: float = C.CONTRAST_THRESHOLD,
     select_cap: int | None = None,
+    extent=None,
 ) -> BlobArrays:
     """Detect + compact candidate blobs to a fixed capacity.
 
@@ -234,7 +244,7 @@ def detect_blobs(
     """
     L, H, W = fine.shape
     valid, x, y, size, contrast = dense_candidates(
-        fine, border, contrast_threshold
+        fine, border, contrast_threshold, extent=extent
     )
     valid &= size >= jnp.asarray(min_size, jnp.float32)
     n_total = jnp.sum(valid, dtype=jnp.int32)

@@ -126,6 +126,18 @@ def extract_from_blobs(
                            patch_scale_factor)
 
 
+def mip_extents(h, w, n_levels: int):
+    """Traced per-level ACTUAL mip extents for an (h, w) image under the
+    padded-canvas construction: mip 0 is (h, w) and mip l (l >= 1) is
+    (h >> l, w >> l) — identical to the dims an exact-shape run would
+    produce (mip 1 keeps odd samples: count = h // 2; deeper mips crop
+    to h >> (l+1), pyramid.py:patch_pyramid_mips)."""
+    hs = [h] + [h >> l for l in range(1, n_levels)]
+    ws = [w] + [w >> l for l in range(1, n_levels)]
+    return (jnp.stack([jnp.asarray(v, jnp.int32) for v in hs]),
+            jnp.stack([jnp.asarray(v, jnp.int32) for v in ws]))
+
+
 def detect_extract(
     img: jnp.ndarray,
     cfg: FrontendConfig,
@@ -134,10 +146,18 @@ def detect_extract(
     top_n: jnp.ndarray | int,
     min_size: jnp.ndarray | float,
     patch_scale_factor: jnp.ndarray | float = C.DEFAULT_PATCH_SCALE_FACTOR,
+    extent=None,
 ) -> FrontendResult:
     """Full single-image front-end.  `top_n`, `min_size` and
     `patch_scale_factor` are runtime (traced) values; everything in `cfg`
-    is compile-time static."""
+    is compile-time static.
+
+    `extent` = traced (h, w) for the pad-to-max single-compile mode
+    (api.py:LocalFeatures with max_image_* set): `img` is a max-size
+    canvas holding an (h, w) image at the origin, mirror-extended by
+    the scale-space footprint (api.py:_prepad_canvas) so every value
+    inside the actual extent is exact; detection, orientation masks and
+    sampler mirror folds all evaluate against (h, w)."""
     from .scale_space import fine_volume, scale_space
 
     coarse = scale_space(img, cfg.n_scales)
@@ -148,28 +168,35 @@ def detect_extract(
     # max_blobs slots instead
     blobs = detect_blobs(
         fine_volume(coarse), cfg.max_blobs, min_size, cfg.border,
-        cfg.contrast_threshold, select_cap=cfg.max_filtered,
+        cfg.contrast_threshold, select_cap=cfg.max_filtered, extent=extent,
     )
     filtered = _truncate_blobs(blobs, min(cfg.max_filtered, cfg.max_blobs),
                                top_n)
 
     kps = keypoints_from_blobs(coarse, filtered, cfg.max_keypoints,
                                use_pallas=_use_pallas(cfg),
-                               interpret=cfg.interpret)
+                               interpret=cfg.interpret, extent=extent)
 
     return _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
-                           patch_scale_factor)
+                           patch_scale_factor, extent=extent)
 
 
 def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
-                    patch_scale_factor) -> FrontendResult:
-    mips = patch_pyramid_mips(coarse)
+                    patch_scale_factor, extent=None) -> FrontendResult:
+    mips = patch_pyramid_mips(coarse, extent=extent)
+    if extent is not None:
+        act_h, act_w = mip_extents(extent[0], extent[1], len(mips))
     if _use_pallas(cfg):
         from ..pallas.sampling import build_canvas, sample_patches_pallas
 
         canvas = build_canvas(mips)
-        widths = jnp.asarray([m.shape[1] for m in mips], dtype=jnp.int32)
-        heights = jnp.asarray([m.shape[0] for m in mips], dtype=jnp.int32)
+        if extent is None:
+            widths = jnp.asarray([m.shape[1] for m in mips], dtype=jnp.int32)
+            heights = jnp.asarray([m.shape[0] for m in mips], dtype=jnp.int32)
+        else:
+            # the kernel uses widths/heights ONLY for mirror folds; the
+            # canvas layout stays the static padded one
+            widths, heights = act_w, act_h
         patches = sample_patches_pallas(
             canvas, widths, heights, kps.x, kps.y, kps.size, kps.angle,
             kps.valid, patch_scale_factor, interpret=cfg.interpret,
@@ -179,6 +206,8 @@ def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
         patches = sample_patches(
             pyr, kps.x, kps.y, kps.size, kps.angle, kps.valid,
             patch_scale_factor,
+            act_widths=None if extent is None else act_w,
+            act_heights=None if extent is None else act_h,
         )
     desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid,
                            fast=_use_pallas(cfg))

@@ -247,10 +247,18 @@ def orientation_histograms(
     bvalid: jnp.ndarray,
     use_pallas: bool = False,
     interpret: bool = False,
+    extent=None,
 ):
     """Peak orientations for each blob slot.
 
     Returns (angles[F, 36] degrees, peak_mask[F, 36]).
+
+    `extent` = traced (h, w) actual image extent (pad-to-max mode): the
+    out-of-image zero-fill mask is evaluated against it, so patch
+    pixels beyond the actual border contribute nothing — exactly the
+    reference's out-of-image semantics at the true image size.  Window
+    fetches may read (finite) pad content; it is masked here before the
+    gradient math.
     """
     nC, H, W = coarse.shape
     F = bx.shape[0]
@@ -268,8 +276,10 @@ def orientation_histograms(
     offs = jnp.arange(-_R, _R + 1, dtype=jnp.int32)       # [15]
     x_img = xi[:, None] + offs[None, :] * step[:, None]   # [F, 15]
     y_img = yi[:, None] + offs[None, :] * step[:, None]
-    vx = (x_img >= 0) & (x_img < W)
-    vy = (y_img >= 0) & (y_img < H)
+    h_act = H if extent is None else extent[0]
+    w_act = W if extent is None else extent[1]
+    vx = (x_img >= 0) & (x_img < w_act)
+    vy = (y_img >= 0) & (y_img < h_act)
     valid_px = vx[:, None, :] & vy[:, :, None]            # [F, 15, 15]
 
     if use_pallas:
@@ -332,6 +342,7 @@ def keypoints_from_blobs(
     max_keypoints: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    extent=None,
 ) -> KeypointArrays:
     """Assign orientations and compact (blob, peak) pairs into keypoint slots.
 
@@ -341,7 +352,7 @@ def keypoints_from_blobs(
     """
     angles, peak = orientation_histograms(
         coarse, blobs.x, blobs.y, blobs.size, blobs.valid,
-        use_pallas=use_pallas, interpret=interpret,
+        use_pallas=use_pallas, interpret=interpret, extent=extent,
     )
     F = angles.shape[0]
     n_flat = F * C.N_ORI_BINS

@@ -124,10 +124,15 @@ def _mirror(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(r >= nf, two_n - 1.0 - r, r)
 
 
-def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
+def _kernel(nv_ref, plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
             canvas_ref, out_ref, win, sem):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
+    # last-valid frontier: programs fully past it run ONE compare
+    # instead of KB per-item predicates (valid keypoints are a
+    # compaction-ordered prefix; ~80% of capacity is tail at typical
+    # workloads).  Their output rows stay unwritten — masked by kvalid.
+    nv = nv_ref[0]
 
     def start_dmas(prog, slot):
         for j in range(KB):
@@ -164,7 +169,7 @@ def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
         start_dmas(0, 0)
 
     # prefetch next program's windows
-    @pl.when(g + 1 < n_g)
+    @pl.when((g + 1 < n_g) & ((g + 1) * KB < nv))
     def _():
         start_dmas(g + 1, (g + 1) % 2)
 
@@ -230,17 +235,19 @@ def _kernel(plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
         row = (g % max(8 // KB, 1)) * KB + j
         out_ref[row, :] = jnp.sum(s1t * xoht.astype(jnp.float32), axis=0)
 
-    for j in range(KB):
-        k = g * KB + j
+    @pl.when(g * KB < nv)
+    def _():
+        for j in range(KB):
+            k = g * KB + j
 
-        # plane=-1 marks an invalid/padding slot: skip its DMA wait AND
-        # its whole tent/matmul chain (slots are valid-first compacted,
-        # so typically >half the capacity is skipped).  Its output row
-        # stays unwritten (arbitrary); sample_patches_pallas masks by
-        # kvalid.
-        @pl.when(plane_ref[k] >= 0)
-        def _(j=j, k=k):
-            body(j, k)
+            # plane=-1 marks an invalid/padding slot: skip its DMA wait
+            # AND its whole tent/matmul chain (slots are valid-first
+            # compacted, so typically >half the capacity is skipped).
+            # Its output row stays unwritten (arbitrary);
+            # sample_patches_pallas masks by kvalid.
+            @pl.when(plane_ref[k] >= 0)
+            def _(j=j, k=k):
+                body(j, k)
 
 
 def _aligned_origin(c, align, margin):
@@ -284,10 +291,10 @@ def _sampler_core(interpret: bool):
     """
 
     @custom_vmap
-    def core(plane, ox, oy, oyl, hw, fparams, canvas):
+    def core(nv, plane, ox, oy, oyl, hw, fparams, canvas):
         Kp = plane.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,  # plane, ox, oy, oyl, hw, fparams
+            num_scalar_prefetch=7,  # nv, plane, ox, oy, oyl, hw, fparams
             grid=(Kp // KB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # canvas (stays in HBM)
@@ -310,19 +317,19 @@ def _sampler_core(interpret: bool):
                 bytes_accessed=Kp * (WIN_X * WIN_Y + _NS) * 4,
                 transcendentals=0,
             ),
-        )(plane, ox, oy, oyl, hw, fparams, canvas)
+        )(nv, plane, ox, oy, oyl, hw, fparams, canvas)
 
     @core.def_vmap
-    def _rule(axis_size, in_batched, plane, ox, oy, oyl, hw, fparams,
+    def _rule(axis_size, in_batched, nv, plane, ox, oy, oyl, hw, fparams,
               canvas):
         B = axis_size
-        plane, ox, oy, oyl, hw, fparams, canvas = tuple(
+        nv, plane, ox, oy, oyl, hw, fparams, canvas = tuple(
             a if b else jnp.broadcast_to(a, (B,) + a.shape)
-            for a, b in zip((plane, ox, oy, oyl, hw, fparams, canvas),
+            for a, b in zip((nv, plane, ox, oy, oyl, hw, fparams, canvas),
                             in_batched)
         )
         out = jnp.stack([
-            core(plane[b], ox[b], oy[b], oyl[b], hw[b], fparams[b],
+            core(nv[b], plane[b], ox[b], oy[b], oyl[b], hw[b], fparams[b],
                  canvas[b])
             for b in range(B)
         ])
@@ -391,7 +398,14 @@ def sample_patches_pallas(
     )  # [5, Kp] f32, scalar-prefetched (SMEM)
     hw = jnp.stack([mw, mh], axis=1).reshape(-1)  # [2Kp] interleaved w, h
 
-    out = _sampler_core(interpret)(plane, ox, oy, oyl, hw, fparams, canvas)
+    # last-valid frontier (index + 1): grid programs fully past it exit
+    # after one compare (see _kernel); correct for any validity mask
+    nv = jnp.max(jnp.where(
+        plane >= 0, jnp.arange(1, Kp + 1, dtype=jnp.int32), 0),
+        keepdims=True)
+
+    out = _sampler_core(interpret)(nv, plane, ox, oy, oyl, hw, fparams,
+                                   canvas)
 
     patches = out[:K].reshape(K, _PS, _PS)
     return jnp.where(kvalid[:, None, None], patches, 0.0)

@@ -151,8 +151,8 @@ def _clamp_dma(shape, plane, oy, ox, win_h, win_w):
     return plane, oy, ox
 
 
-def _kernel_multi(sel_ref, plane_ref, oy_ref, ox_ref, *rest, kb, win_h,
-                  win_w, n_canvases):
+def _kernel_multi(nv_ref, sel_ref, plane_ref, oy_ref, ox_ref, *rest, kb,
+                  win_h, win_w, n_canvases):
     """DMA fetch into a double-buffered VMEM scratch, pipelined one
     chunk ahead: program g starts chunk g+1's copies before waiting on
     chunk g's, so the per-DMA latency (~the whole cost of this kernel;
@@ -162,6 +162,13 @@ def _kernel_multi(sel_ref, plane_ref, oy_ref, ox_ref, *rest, kb, win_h,
     (DMA-ing canvas->HBM output directly would skip that copy, but
     Mosaic faults at runtime on HBM->HBM copies from ANY-space outputs
     — measured on v5e, 480x640 B=8.)
+
+    nv_ref[0] holds (last valid item index + 1): chunks entirely past it
+    exit after ONE scalar compare instead of paying 2*kb per-item
+    predicates + the out block copy.  Detect compaction puts valid slots
+    first, so at typical workloads (~400 valid of 2000 capacity) ~80% of
+    the grid takes this exit; their output blocks are left unwritten
+    (arbitrary) and masked downstream.
     """
     canvases = rest[:n_canvases]
     out_ref = rest[n_canvases]
@@ -188,20 +195,24 @@ def _kernel_multi(sel_ref, plane_ref, oy_ref, ox_ref, *rest, kb, win_h,
                 def _(canvas_ref=canvas_ref, j=j):
                     dma(canvas_ref, prog, slot, j).start()
 
+    nv = nv_ref[0]
+
     @pl.when(g == 0)
     def _():
         start_chunk(0, 0)
 
-    @pl.when(g + 1 < n_g)
+    @pl.when((g + 1 < n_g) & ((g + 1) * kb < nv))
     def _():
         start_chunk(g + 1, (g + 1) % 2)
 
-    for j in range(kb):
-        for c, canvas_ref in enumerate(canvases):
-            @pl.when(sel_ref[g * kb + j] == c)
-            def _(canvas_ref=canvas_ref, j=j):
-                dma(canvas_ref, g, g % 2, j).wait()
-    out_ref[...] = win[g % 2]
+    @pl.when(g * kb < nv)
+    def _():
+        for j in range(kb):
+            for c, canvas_ref in enumerate(canvases):
+                @pl.when(sel_ref[g * kb + j] == c)
+                def _(canvas_ref=canvas_ref, j=j):
+                    dma(canvas_ref, g, g % 2, j).wait()
+        out_ref[...] = win[g % 2]
 
 
 @functools.lru_cache(maxsize=None)
@@ -210,10 +221,10 @@ def _multi_core(n_canvases: int, win_h: int, win_w: int, kb: int,
     """custom_vmap'd flat-grid kernel invocation (inputs pre-padded)."""
 
     @custom_vmap
-    def core(sel, plane, oy, ox, *canvases):
+    def core(nv, sel, plane, oy, ox, *canvases):
         Fp = plane.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(Fp // kb,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_canvases,
             out_specs=pl.BlockSpec((kb, win_h, win_w),
@@ -231,16 +242,16 @@ def _multi_core(n_canvases: int, win_h: int, win_w: int, kb: int,
             out_shape=jax.ShapeDtypeStruct((Fp, win_h, win_w),
                                            canvases[0].dtype),
             interpret=interpret,
-        )(sel, plane, oy, ox, *canvases)
+        )(nv, sel, plane, oy, ox, *canvases)
 
     @core.def_vmap
-    def _rule(axis_size, in_batched, sel, plane, oy, ox, *canvases):
+    def _rule(axis_size, in_batched, nv, sel, plane, oy, ox, *canvases):
         B = axis_size
-        sel, plane, oy, ox = _broadcast_unbatched(
-            B, (sel, plane, oy, ox), in_batched[:4])
-        canvases = _broadcast_unbatched(B, canvases, in_batched[4:])
+        nv, sel, plane, oy, ox = _broadcast_unbatched(
+            B, (nv, sel, plane, oy, ox), in_batched[:5])
+        canvases = _broadcast_unbatched(B, canvases, in_batched[5:])
         out = jnp.stack([
-            core(sel[b], plane[b], oy[b], ox[b],
+            core(nv[b], sel[b], plane[b], oy[b], ox[b],
                  *(c[b] for c in canvases))
             for b in range(B)
         ])
@@ -267,7 +278,12 @@ def fetch_windows_multi(
     sel[i] = -1 is a skip sentinel: no DMA is issued for that item and
     its output window is arbitrary (callers mask invalid slots anyway).
     The fetch is per-descriptor latency-bound, so skipping the
-    capacity-padding slots is a large win.
+    capacity-padding slots is a large win — and the kernel additionally
+    exits whole chunks past the LAST valid item after one compare
+    (valid slots are compaction-ordered prefixes in every caller, so
+    the all-sentinel tail is ~80% of capacity at typical workloads;
+    correct for any mask shape, the tail exit just degrades to nothing
+    when valid items are scattered).
     """
     F = plane.shape[0]
     Fp = _round_up(max(F, kb), kb)
@@ -286,6 +302,10 @@ def fetch_windows_multi(
     plane = jnp.clip(plane, 0, jnp.maximum(bound(0) - 1, 0))
     oy = jnp.clip(oy, 0, jnp.maximum(((bound(1) - win_h) // 8) * 8, 0))
     ox = jnp.clip(ox, 0, jnp.maximum(((bound(2) - win_w) // 128) * 128, 0))
+    # last-valid-item frontier (index + 1); chunks fully past it early-out
+    nv = jnp.max(jnp.where(
+        sel >= 0, jnp.arange(1, Fp + 1, dtype=jnp.int32), 0),
+        keepdims=True)
     core = _multi_core(len(canvases), win_h, win_w, kb, interpret)
-    out = core(sel, plane, oy, ox, *canvases)
+    out = core(nv, sel, plane, oy, ox, *canvases)
     return out[:F]
