@@ -119,6 +119,141 @@ def ablate(stage):
             peak = peak & (jnp.arange(36)[None, :] < 1)
             return ang, peak
         o.orientation_histograms = fake
+    elif stage == "oextract":
+        # keep the window fetch + histogram math, fake the one-hot
+        # extraction einsum: patch = window mean broadcast (plus a tiny
+        # per-pixel ramp so gradients/peaks survive)
+        import local_features_tpu.ops.orientation as o
+
+        real = o._sample_ori_patches_pallas
+
+        def fake(coarse, xi, yi, level, bvalid, interpret=False):
+            from local_features_tpu.pallas.windows import fetch_windows_multi
+            (arena, sel, plane0, oy_glob, ox, y_local, x_local) = \
+                o._arena_offsets(coarse, xi, yi, level, bvalid)
+            win = fetch_windows_multi((arena,), sel, plane0, oy_glob, ox,
+                                      win_h=o._OWIN_H, win_w=o._OWIN_W,
+                                      kb=o._OWIN_KB, interpret=interpret)
+            m = jnp.mean(win, axis=(1, 2))
+            ramp = jnp.sin(jnp.arange(225, dtype=jnp.float32)).reshape(
+                15, 15)
+            return (m[:, None, None] + 0.05 * ramp[None]
+                    + y_local[:, None, None].astype(jnp.float32) * 1e-20)
+        o._sample_ori_patches_pallas = fake
+    elif stage == "obin":
+        # keep patches + gradients, fake the 36-bin one-hot histogram
+        # contraction + smoothing (the [F,13,13,36] reduce)
+        import local_features_tpu.ops.orientation as o
+
+        real_hist = o.orientation_histograms
+
+        def fake(coarse, bx, by, bsize, bvalid, use_pallas=False,
+                 interpret=False, extent=None):
+            import local_features_tpu.constants as Cc
+            nC, H, W = coarse.shape
+            level = jnp.clip(jnp.round(jnp.log2(bsize / (
+                Cc.DOG_FIRST_SCALE_SIGMA * Cc.DOG_SIGMA_RADIUS_FACTOR))),
+                0, nC - 1).astype(jnp.int32)
+            xi = jnp.floor(bx).astype(jnp.int32)
+            yi = jnp.floor(by).astype(jnp.int32)
+            patch = o._sample_ori_patches_pallas(coarse, xi, yi, level,
+                                                 bvalid, interpret)
+            gx = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]
+            gy = patch[:, :-2, 1:-1] - patch[:, 2:, 1:-1]
+            s = jnp.sum(gx * gx + gy * gy, axis=(1, 2))
+            F = bx.shape[0]
+            ang = jnp.zeros((F, 36)) + s[:, None] * 1e-20
+            peak = (jnp.arange(36)[None, :] < 1) & bvalid[:, None]
+            return ang, peak
+        o.orientation_histograms = fake
+    elif stage in ("oatan", "oweight", "obinsum", "opeak"):
+        # surgical variants of orientation_histograms: one sub-step
+        # replaced by a cheap stand-in of the same shape
+        import local_features_tpu.ops.orientation as o
+        import local_features_tpu.constants as Cc
+
+        real = o.orientation_histograms
+
+        def fake(coarse, bx, by, bsize, bvalid, use_pallas=False,
+                 interpret=False, extent=None):
+            nC, H, W = coarse.shape
+            F = bx.shape[0]
+            level = jnp.clip(jnp.round(jnp.log2(bsize / (
+                Cc.DOG_FIRST_SCALE_SIGMA * Cc.DOG_SIGMA_RADIUS_FACTOR))),
+                0, nC - 1).astype(jnp.int32)
+            step = jnp.left_shift(1, level)
+            radius = jnp.round(Cc.ORI_RADIUS_FACTOR * bsize
+                               / Cc.DOG_SIGMA_RADIUS_FACTOR)
+            sigma = Cc.ORI_SIGMA_FACTOR * bsize / Cc.DOG_SIGMA_RADIUS_FACTOR
+            xi = jnp.floor(bx).astype(jnp.int32)
+            yi = jnp.floor(by).astype(jnp.int32)
+            offs = jnp.arange(-o._R, o._R + 1, dtype=jnp.int32)
+            x_img = xi[:, None] + offs[None, :] * step[:, None]
+            y_img = yi[:, None] + offs[None, :] * step[:, None]
+            vx = (x_img >= 0) & (x_img < W)
+            vy = (y_img >= 0) & (y_img < H)
+            valid_px = vx[:, None, :] & vy[:, :, None]
+            patch = o._sample_ori_patches_pallas(coarse, xi, yi, level,
+                                                 bvalid, interpret)
+            patch = jnp.where(valid_px & bvalid[:, None, None], patch, 0.0)
+            gx = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]
+            gy = patch[:, :-2, 1:-1] - patch[:, 2:, 1:-1]
+            ioffs = offs[1:-1].astype(jnp.float32)
+            dx = ioffs[None, :] * step[:, None].astype(jnp.float32)
+            in_grad = ((jnp.abs(dx) <= radius[:, None])[:, None, :]
+                       & (jnp.abs(dx) <= radius[:, None])[:, :, None]
+                       & valid_px[:, 1:-1, 1:-1])
+            contrib_mask = (in_grad & ((gx != 0.0) | (gy != 0.0))
+                            & bvalid[:, None, None])
+            mag = jnp.sqrt(gx * gx + gy * gy)
+            dist = dx[:, None, :] ** 2 + dx[:, :, None] ** 2
+            if stage == "oweight":
+                weight = 1.0 + dist * 1e-20     # no exp
+            else:
+                weight = jnp.exp(-dist / (2.0 * sigma * sigma)[:, None, None])
+            contrib = jnp.where(contrib_mask, weight * mag, 0.0)
+            if stage == "oatan":
+                # no arctan2: fake bins from a cheap hash of gradients
+                b = (jnp.abs(gx * 7.3 + gy * 3.1) * 4.0).astype(jnp.int32)
+                b = jnp.mod(b, Cc.N_ORI_BINS)
+            else:
+                ang = jnp.arctan2(gy, gx)
+                b = jnp.round(ang * (Cc.N_ORI_BINS / (2.0 * jnp.pi))
+                              ).astype(jnp.int32)
+                b = jnp.mod(b, Cc.N_ORI_BINS)
+            if stage == "obinsum":
+                # skip the one-hot 36-bin contraction: fold bins down
+                # to a scalar per pixel and broadcast
+                s = jnp.sum(contrib * (b + 1), axis=(1, 2))
+                raw_hist = jnp.zeros((F, 36)) + s[:, None] * 1e-6
+            else:
+                onehot = (b[..., None]
+                          == jnp.arange(Cc.N_ORI_BINS)[None, None, None, :])
+                raw_hist = jnp.sum(contrib[..., None] * onehot, axis=(1, 2))
+            r = lambda sft: jnp.roll(raw_hist, sft, axis=-1)
+            hist = ((r(2) + r(-2)) * (1.0 / 16.0)
+                    + (r(1) + r(-1)) * (4.0 / 16.0) + raw_hist * (6. / 16.))
+            if stage == "opeak":
+                peak = (hist > jnp.mean(hist)) & bvalid[:, None]
+                peak = peak & (jnp.arange(36)[None, :] < 2)
+                angles = hist * 0.1
+                return angles, peak
+            left = jnp.roll(hist, 1, axis=-1)
+            right = jnp.roll(hist, -1, axis=-1)
+            thresh = jnp.max(hist, axis=-1, keepdims=True) * Cc.ORI_PEAK_RATIO
+            peak = ((left < hist) & (right < hist) & (hist >= thresh)
+                    & bvalid[:, None])
+            denom = left - 2.0 * hist + right
+            interp = jnp.where(peak, (left - right)
+                               / jnp.where(denom == 0, 1.0, denom), 0.0)
+            bin_f = (jnp.arange(Cc.N_ORI_BINS, dtype=jnp.float32)[None, :]
+                     + interp / 2.0)
+            bin_f = jnp.where(bin_f < 0, bin_f + Cc.N_ORI_BINS, bin_f)
+            bin_f = jnp.where(bin_f > Cc.N_ORI_BINS, bin_f - Cc.N_ORI_BINS,
+                              bin_f)
+            angles = 360.0 - (360.0 / Cc.N_ORI_BINS) * bin_f
+            return angles, peak
+        o.orientation_histograms = fake
     elif stage == "desc":
         import local_features_tpu.ops.descriptor as dd
 

@@ -1,0 +1,91 @@
+"""Real-texture pseudo-sequence renderer: geometric self-consistency,
+TUM round-trip, and an end-to-end odometry ATE bound (config-4 content,
+see scripts/make_ate_artifact.py for the full-scale artifact)."""
+
+import numpy as np
+import pytest
+
+from local_features_tpu.utils.image import load_gray_pil
+from local_features_tpu.utils.phototex import (plane_homography,
+                                               render_layered_sequence,
+                                               write_tum_sequence)
+
+
+def _textures():
+    bg = load_gray_pil("sample_data/houses.jpg").astype(np.float32)
+    fg = load_gray_pil("sample_data/bird.jpg").astype(np.float32)
+    return bg, fg
+
+
+def test_plane_homography_projects_exactly():
+    """The homography must agree with a direct pinhole projection of
+    plane points for a nontrivial pose."""
+    rng = np.random.default_rng(0)
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+    yaw = 0.1
+    R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                  [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+    t = np.array([0.2, -0.1, 0.05])
+    depth, s, off = 5.0, 0.01, np.array([-1.0, -0.8])
+    H = plane_homography(K, R, t, depth, s, off)
+    for _ in range(10):
+        ptex = rng.uniform(0, 300, 2)
+        X = np.array([s * ptex[0] + off[0], s * ptex[1] + off[1], depth])
+        x_img = K @ (R @ X + t)
+        x_img = x_img[:2] / x_img[2]
+        q = H @ np.array([x_img[0], x_img[1], 1.0])
+        np.testing.assert_allclose(q[:2] / q[2], ptex, atol=1e-6)
+
+
+def test_render_loop_closes_and_moves():
+    bg, fg = _textures()
+    frames, R, t, intr = render_layered_sequence(
+        bg, fg, n_frames=10, height=120, width=160, f=130.0)
+    assert frames.shape == (10, 120, 160)
+    assert 0.2 < frames.mean() < 0.8
+    # consecutive frames differ (motion), first and last are the same
+    # pose (closed circuit): frame 0 re-rendered at pose 0 == frame 0
+    d_step = np.abs(frames[1] - frames[0]).mean()
+    assert d_step > 1e-3
+    np.testing.assert_allclose(R[0], np.eye(3), atol=1e-6)
+    # trajectory is a closed circuit: pose F would equal pose 0
+    c = np.einsum("nji,nj->ni", R, -t)
+    assert np.linalg.norm(c[0] - c[-1]) < np.linalg.norm(c[0] - c[5])
+
+
+def test_tum_roundtrip(tmp_path):
+    from local_features_tpu.sfm.datasets import load_tum_rgbd
+
+    bg, fg = _textures()
+    frames, R, t, intr = render_layered_sequence(
+        bg, fg, n_frames=6, height=96, width=128, f=100.0)
+    write_tum_sequence(frames, R, t, tmp_path / "seq")
+    seq = load_tum_rgbd(tmp_path / "seq")
+    assert len(seq) == 6
+    np.testing.assert_allclose(seq.frames[2], frames[2], atol=1.0 / 255.0)
+    # ground-truth camera centers survive the quaternion round trip
+    c = np.einsum("nji,nj->ni", R, -t)
+    np.testing.assert_allclose(seq.gt_centers, c, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_odometry_on_phototex_sequence():
+    """Full odometry on a 20-frame real-texture render: ATE must stay
+    below 5% of the trajectory length (the ATE_r03.json artifact runs
+    the 120-frame 640x480 version of this on TPU)."""
+    import jax.numpy as jnp
+
+    from local_features_tpu.sfm.odometry import reconstruct_long_sequence
+    from local_features_tpu.sfm.pose_graph import absolute_trajectory_error
+
+    bg, fg = _textures()
+    frames, R_gt, t_gt, intr = render_layered_sequence(
+        bg, fg, n_frames=20, height=240, width=320, f=260.0)
+    res = reconstruct_long_sequence(frames, intr, window=6, overlap=2,
+                                    max_features=500, ba_iters=15)
+    c_gt = np.einsum("nji,nj->ni", R_gt, -t_gt)
+    ate = float(absolute_trajectory_error(
+        jnp.asarray(res.camera_centers), jnp.asarray(c_gt),
+        with_scale=True))
+    traj = np.linalg.norm(np.diff(c_gt, axis=0), axis=1).sum()
+    assert ate < 0.05 * traj, (ate, traj)
