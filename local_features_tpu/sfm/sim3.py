@@ -99,8 +99,19 @@ def optimize(graph: Sim3Graph, n_iters: int = 15, lam: float = 1e-6,
              fix_first: bool = True) -> Sim3Graph:
     """Damped Gauss-Newton.  Fixing node 0 pins the full 7-dof gauge
     freedom of a monocular reconstruction (global rotation, translation,
-    scale)."""
+    scale).
+
+    Per-iteration tangent steps are trust-region clamped: a loop edge
+    measuring an EXTREME relative scale (observed: s_rel ~ 0.02 after a
+    windowed estimate's scale collapsed ~40x over a circuit) yields
+    first-iteration log-scale steps large enough that exp(sigma)
+    overflows and every pose goes NaN.  Clamping |sigma| <= 0.7 and
+    |omega| <= 1 per iteration (the two components whose retraction
+    explodes/wraps) keeps each step sane while still covering e.g. a
+    e^10 total scale correction over 15 iterations; translation steps
+    are clamped to 20x the median edge baseline (scale-free)."""
     N = graph.R.shape[0]
+    v_max = 20.0 * jnp.median(jnp.linalg.norm(graph.t_rel, axis=-1)) + 1e-6
 
     def gn_step(g: Sim3Graph, _):
         zero = jnp.zeros((N, 7))
@@ -114,6 +125,10 @@ def optimize(graph: Sim3Graph, n_iters: int = 15, lam: float = 1e-6,
             H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
             b = b * m
         dxi = jnp.linalg.solve(H, b).reshape(N, 7)
+        w = jnp.clip(dxi[:, :3], -1.0, 1.0)
+        v = jnp.clip(dxi[:, 3:6], -v_max, v_max)
+        sig = jnp.clip(dxi[:, 6:7], -0.7, 0.7)
+        dxi = jnp.concatenate([w, v, sig], axis=-1)
         s, R, t = sim3_retract(g.s, g.R, g.t, dxi)
         g = g._replace(s=s, R=R, t=t)
         return g, jnp.sum(r * r)

@@ -62,9 +62,15 @@ def main():
     c_gt = np.einsum("nji,nj->ni", R_gt, -t_gt)
     traj_len = float(np.linalg.norm(np.diff(c_gt, axis=0), axis=1).sum())
 
-    results = {}
-    for label, lc, graph in (("odometry", False, "tracks"),
-                             ("odometry+sim3_loops", True, "sim3")):
+    # each variant runs in its OWN subprocess: one process accumulating
+    # hundreds of XLA CPU compiles hits the compiler's allocation
+    # failure (CLAUDE.md pytest.ini note; reproduced here as LLVM
+    # "Cannot allocate memory" mid-loop-closure)
+    if os.environ.get("LF_ATE_CHILD"):
+        label, lc, graph = {
+            "odometry": ("odometry", False, "tracks"),
+            "sim3": ("odometry+sim3_loops", True, "sim3"),
+        }[os.environ["LF_ATE_CHILD"]]
         t0 = time.time()
         res = reconstruct_long_sequence(
             frames, intr, window=args.window, overlap=args.overlap,
@@ -75,13 +81,25 @@ def main():
         ate = float(absolute_trajectory_error(
             jnp.asarray(res.camera_centers), jnp.asarray(c_gt),
             with_scale=True))
-        results[label] = {
-            "ate_rmse": round(ate, 5),
-            "ate_pct_of_trajectory": round(100.0 * ate / traj_len, 3),
-            "wall_time_s": round(wall, 1),
-        }
-        print(f"{label}: ATE {ate:.4f} ({100 * ate / traj_len:.2f}% of "
-              f"{traj_len:.2f}) in {wall:.0f}s", flush=True)
+        print(json.dumps({"label": label, "ate_rmse": round(ate, 5),
+                          "ate_pct_of_trajectory":
+                              round(100.0 * ate / traj_len, 3),
+                          "wall_time_s": round(wall, 1)}), flush=True)
+        return
+
+    import subprocess
+
+    results = {}
+    for child in ("odometry", "sim3"):
+        env = dict(os.environ, LF_ATE_CHILD=child)
+        out = subprocess.run(
+            [sys.executable] + sys.argv, env=env, capture_output=True,
+            text=True, timeout=7200)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        rec = json.loads(line)
+        results[rec.pop("label")] = rec
+        print(child, "->", rec, flush=True)
 
     artifact = {
         "sequence": {

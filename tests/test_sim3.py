@@ -300,3 +300,27 @@ def test_sim3_robust_keeps_lone_genuine_edge():
     ate1 = float(absolute_trajectory_error(
         jnp.asarray(c_c), jnp.asarray(c_gt), with_scale=True))
     assert ate1 < ate0 / 20.0, (ate0, ate1)
+
+
+def test_sim3_survives_extreme_scale_loop_edge():
+    """A loop edge measuring an extreme relative scale (the windowed
+    estimate collapsed ~40x over a circuit — observed on real renders)
+    must not NaN the graph: per-iteration tangent clamping keeps
+    exp(sigma) finite and the optimization still recovers the scale."""
+    R_gt, t_gt = _circle_gt(N=30)
+    # severe per-step scale decay: total factor ~0.03
+    R_dr, t_dr = _drifted_chain(R_gt, t_gt, drift_per_step=0.885)
+    N = len(R_gt)
+    drift = 0.885 ** np.arange(N)
+    i, j = 0, N - 1
+    R_rel = R_gt[j] @ R_gt[i].T
+    t_rel = t_gt[j] - R_rel @ t_gt[i]
+    good = (i, j, drift[j] / drift[i], R_rel, drift[j] * t_rel)
+    g = sim3.chain_graph(R_dr, t_dr, loop_edges=[good], loop_weight=3.0)
+    g_opt = sim3.optimize(g, n_iters=25, lam=1e-5)
+    s = np.asarray(g_opt.s)
+    assert np.isfinite(np.asarray(g_opt.t)).all()
+    assert np.isfinite(s).all()
+    # recovered node scales track the injected decay
+    corr = np.corrcoef(np.log(s + 1e-12), np.log(drift))[0, 1]
+    assert corr > 0.95, corr
