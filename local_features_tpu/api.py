@@ -89,6 +89,7 @@ class LocalFeatures:
             # Pallas sampler on TPU; exact XLA gather elsewhere (CPU tests)
             sampler = "pallas" if jax.default_backend() != "cpu" else "xla"
         self.sampler = sampler
+        self.interpret = bool(interpret)
         self.max_image_width = int(max_image_width)
         self.max_image_height = int(max_image_height)
         self._padded = self.max_image_width > 0 and self.max_image_height > 0
@@ -117,7 +118,7 @@ class LocalFeatures:
                 max_blobs=self.max_blobs,
                 max_keypoints=self.max_features,
                 max_filtered=self.max_blobs if all_blobs else self.max_features,
-                sampler=self.sampler,
+                sampler=self.sampler, interpret=self.interpret,
             )
 
             if self._padded:
@@ -183,7 +184,7 @@ class LocalFeatures:
         cfg = FrontendConfig(
             n_scales=self.n_scales, max_blobs=self.max_blobs,
             max_keypoints=self.max_features, max_filtered=self.max_features,
-            sampler=self.sampler,
+            sampler=self.sampler, interpret=self.interpret,
         )
         key = ("phase1", img.shape)
         if key not in self._jit_cache:
@@ -234,6 +235,7 @@ class LocalFeatures:
                 n_scales=self.n_scales, max_blobs=self.max_blobs,
                 max_keypoints=self.max_features,
                 max_filtered=self.max_features, sampler=self.sampler,
+                interpret=self.interpret,
             )
             self._jit_cache[key] = jax.jit(
                 lambda im, nn, ms, psf: batched_detect_extract(

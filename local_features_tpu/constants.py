@@ -52,6 +52,16 @@ ORI_PEAK_RATIO = 0.8
 ORI_PATCH_RADIUS = 7  # 15x15 neighborhood
 ORI_SIGMA_FACTOR = 1.5
 ORI_RADIUS_FACTOR = 3.0 * 1.5
+# Sector boundaries for transcendental-free orientation binning:
+# bin(g) = round(atan2(gy, gx) * 36 / 2pi) mod 36 realized as half-plane
+# tests against the 18 boundary directions (k - 0.5) * 10 deg (the other
+# 18 follow by point symmetry).  Mosaic TPU has no atan2 lowering, and
+# the reference itself bins through an atan2 POLYNOMIAL
+# (vulkan/shaders/atan2.glsl), so sector tests are at least as faithful; see
+# ops/orientation.py:gradient_bin for the exact-diagonal tie rule.
+_ORI_BK = (np.arange(1, 19, dtype=np.float64) - 0.5) * (2.0 * np.pi / 36.0)
+ORI_BIN_BOUND_COS = np.cos(_ORI_BK).astype(np.float32)  # [18]
+ORI_BIN_BOUND_SIN = np.sin(_ORI_BK).astype(np.float32)  # [18]
 # Default runtime patch scaling (lib.rs:46).
 DEFAULT_PATCH_SCALE_FACTOR = 24.0
 

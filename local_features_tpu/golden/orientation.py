@@ -15,6 +15,28 @@ from .. import constants as C
 _R = C.ORI_PATCH_RADIUS  # 7 -> 15x15 patch
 
 
+def gradient_bin(gx: np.float32, gy: np.float32) -> int:
+    """Scalar mirror of ops/orientation.py:gradient_bin (shared sector
+    rule; see its docstring for the derivation and the exact-diagonal
+    tie convention).  Replaces round(arctan2 * 36/2pi) % 36 — the old
+    f64-promoted NumPy form disagreed with the f32 XLA path at exact
+    -+135 deg diagonals; one definition now serves golden/XLA/Pallas."""
+    if abs(gx) == abs(gy) and gx != 0.0:
+        if gy >= 0.0:
+            return 4 if gx > 0.0 else 14
+        return 32 if gx > 0.0 else 22
+    b = 0
+    if gy >= 0.0:
+        for k in range(18):
+            if C.ORI_BIN_BOUND_COS[k] * gy - C.ORI_BIN_BOUND_SIN[k] * gx >= 0.0:
+                b += 1
+    else:
+        for k in range(18):
+            if C.ORI_BIN_BOUND_COS[k] * gy + C.ORI_BIN_BOUND_SIN[k] * gx <= 0.0:
+                b -= 1
+    return b % C.N_ORI_BINS
+
+
 def keypoint_orientations(
     coarse: np.ndarray, kp_x: float, kp_y: float, kp_size: float
 ) -> list[float]:
@@ -60,9 +82,7 @@ def keypoint_orientations(
             mag = np.sqrt(gx * gx + gy * gy)
             dist = (xp * step) ** 2 + (yp * step) ** 2
             weight = np.exp(-dist / (2.0 * sigma * sigma))
-            ang = np.arctan2(gy, gx)
-            b = int(np.round(ang * C.N_ORI_BINS / (2.0 * np.pi)))
-            raw_hist[b % C.N_ORI_BINS] += weight * mag
+            raw_hist[gradient_bin(gx, gy)] += weight * mag
 
     # Circular [1,4,6,4,1]/16 smoothing (keypoint_orientation.glsl:135-140).
     hist = np.zeros_like(raw_hist)

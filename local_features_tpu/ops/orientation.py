@@ -33,6 +33,12 @@ _OWIN_KB = int(os.environ.get("LF_OWIN_KB", "16"))
 if _OWIN_KB < 1:
     raise ValueError(f"LF_OWIN_KB must be >= 1, got {_OWIN_KB}")
 
+# Fused orientation-histogram kernel (pallas/orihist.py): DMA + masks +
+# gradients + binning in one kernel.  Default ON for the Pallas path;
+# LF_ORI_FUSED=0 falls back to windows-fetch + XLA math (the A/B
+# baseline).  Read once at import (baked into cached traces).
+_ORI_FUSED = os.environ.get("LF_ORI_FUSED", "1") == "1"
+
 
 class KeypointArrays(NamedTuple):
     """Fixed-capacity keypoints (one slot per (blob, orientation) pair)."""
@@ -239,6 +245,98 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
     return jnp.where(big[:, None, None], patch_big, patch)
 
 
+def gradient_bin(gx, gy):
+    """36-sector orientation bin == round(atan2(gy, gx) * 36/2pi) mod 36,
+    transcendental-free (Mosaic TPU has no atan2 lowering; the reference
+    bins through an atan2 POLYNOMIAL, vulkan/shaders/atan2.glsl +
+    keypoint_orientation.glsl:102-104, so exact sector membership is at
+    least as faithful as any approximation).
+
+    Half-plane construction: boundaries lie at a_k = (k - 0.5) * 10 deg,
+    k = 1..18 (the negative half mirrors).  For theta in (-pi, pi]:
+        signed = sum_k [theta >= a_k] - sum_k [theta <= -a_k]
+    where [theta >= a_k] = (gy >= 0) & (cos(a_k) gy - sin(a_k) gx >= 0)
+    and   [theta <= -a_k] = (gy < 0) & (cos(a_k) gy + sin(a_k) gx <= 0),
+    each a single f32 cross-product sign.  The 18 steps are unrolled so
+    the SAME op sequence runs in XLA and inside the Pallas kernel.
+
+    Exact-diagonal gradients (|gx| == |gy|, common on integer-ish image
+    data) land exactly ON the +-45/+-135 deg boundaries, where the f32
+    atan2 product hits 4.5/13.5 and banker's rounding decides; they are
+    overridden explicitly to the values the previous XLA-f32 atan2 path
+    produced (4 / 14 / 32 / 22), keeping golden == XLA == Pallas
+    bit-exact.  Ties elsewhere require an f32 cross-product to round to
+    exactly 0 — the same measure-zero ambiguity the old NumPy-vs-XLA
+    atan2 pair already carried (those two in fact DISAGREED at exact
+    -+135 diagonals through f64-promotion quirks; this rule supersedes
+    both with one shared definition).
+    """
+    pos = gy >= 0.0
+    neg = jnp.logical_not(pos)
+    b = jnp.zeros(jnp.broadcast_shapes(gx.shape, gy.shape), jnp.int32)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    for k in range(18):
+        ck = float(C.ORI_BIN_BOUND_COS[k])
+        sk = float(C.ORI_BIN_BOUND_SIN[k])
+        b = b + jnp.where(pos & (ck * gy - sk * gx >= 0.0), one, zero)
+        b = b - jnp.where(neg & (ck * gy + sk * gx <= 0.0), one, zero)
+    b = jnp.where(b < 0, b + C.N_ORI_BINS, b)
+    diag = (jnp.abs(gx) == jnp.abs(gy)) & (gx != 0.0)
+    bdiag = jnp.where(pos, jnp.where(gx > 0.0, 4, 14),
+                      jnp.where(gx > 0.0, 32, 22))
+    return jnp.where(diag, bdiag, b)
+
+
+def _raw_hist_from_patches(patch, valid_px, step, radius, sigma, bvalid):
+    """[F, 36] raw orientation histogram from masked [F, 15, 15]
+    patches (the XLA math; the fused kernel reproduces it in-kernel —
+    pallas/orihist.py keeps a pointer back here for parity)."""
+    offs = jnp.arange(-_R, _R + 1, dtype=jnp.int32)
+    # central-difference gradients on the interior 13x13
+    gx = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]
+    gy = patch[:, :-2, 1:-1] - patch[:, 2:, 1:-1]
+
+    ioffs = offs[1:-1].astype(jnp.float32)                # [-6..6]
+    dx = ioffs[None, :] * step[:, None].astype(jnp.float32)  # [F, 13]
+    dy = dx
+    in_grad = ((jnp.abs(dx) <= radius[:, None])[:, None, :]
+               & (jnp.abs(dy) <= radius[:, None])[:, :, None]
+               & valid_px[:, 1:-1, 1:-1])
+    contrib_mask = (in_grad & ((gx != 0.0) | (gy != 0.0))
+                    & bvalid[:, None, None])
+
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    dist = dx[:, None, :] ** 2 + dy[:, :, None] ** 2
+    weight = jnp.exp(-dist / (2.0 * sigma * sigma)[:, None, None])
+    contrib = jnp.where(contrib_mask, weight * mag, 0.0)  # [F, 13, 13]
+
+    b = gradient_bin(gx, gy)
+
+    onehot = (b[..., None] == jnp.arange(C.N_ORI_BINS)[None, None, None, :])
+    return jnp.sum(contrib[..., None] * onehot, axis=(1, 2))  # [F, 36]
+
+
+def _fused_hist(coarse, xi, yi, level, bvalid, radius, sigma, h_act, w_act,
+                interpret):
+    """[F, 36] raw histograms via the fused Pallas kernel (decimated
+    levels only — big blobs handled by the caller's fallback merge)."""
+    from ..pallas.orihist import fetch_histograms
+
+    (arena, sel, plane0, oy_glob, ox,
+     y_local, x_local) = _arena_offsets(coarse, xi, yi, level, bvalid)
+    step = jnp.left_shift(1, jnp.minimum(level, _DECIM_LEVELS - 1))
+    f32 = lambda a: a.astype(jnp.float32)
+    fparams = jnp.stack([
+        f32(y_local), f32(x_local), f32(xi), f32(yi), f32(step),
+        radius, -1.0 / jnp.maximum(2.0 * sigma * sigma, 1e-20),
+        jnp.broadcast_to(jnp.asarray(w_act, jnp.float32), xi.shape),
+        jnp.broadcast_to(jnp.asarray(h_act, jnp.float32), xi.shape),
+    ])                                                    # [9, F]
+    return fetch_histograms(arena, sel, oy_glob, ox, fparams,
+                            interpret=interpret)
+
+
 def orientation_histograms(
     coarse: jnp.ndarray,
     bx: jnp.ndarray,
@@ -282,39 +380,44 @@ def orientation_histograms(
     vy = (y_img >= 0) & (y_img < h_act)
     valid_px = vx[:, None, :] & vy[:, :, None]            # [F, 15, 15]
 
-    if use_pallas:
-        patch = _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
-                                           interpret)
+    if use_pallas and _ORI_FUSED:
+        # fused kernel: window DMA + masks + gradients + binning all in
+        # one Pallas kernel (pallas/orihist.py) — the [F,169,36] one-hot
+        # bin contraction alone cost ~4.5 ms/batch in XLA
+        raw_hist = _fused_hist(coarse, xi, yi, level, bvalid, radius,
+                               sigma, h_act, w_act, interpret)
+        # big-blob fallback (level >= _DECIM_LEVELS): gather + XLA math
+        # on a compacted subset, merged by slot
+        big = level >= _DECIM_LEVELS
+        cap = min(_BIG_CAP, F)
+        score = jnp.where(big & bvalid, F - jnp.arange(F, dtype=jnp.int32),
+                          0)
+        top_s, bidx = jax.lax.top_k(score, cap)
+        slot_valid = top_s > 0
+        patch_c = _gather_patches(coarse, xi[bidx], yi[bidx], level[bidx])
+        vp_c = jax.tree.map(lambda a: a[bidx], valid_px)
+        patch_c = jnp.where(vp_c & slot_valid[:, None, None], patch_c, 0.0)
+        hist_c = _raw_hist_from_patches(
+            patch_c, vp_c, step[bidx], radius[bidx], sigma[bidx],
+            slot_valid)                                     # [cap, 36]
+        scatter = ((bidx[None, :] == jnp.arange(F)[:, None])
+                   & slot_valid[None, :]).astype(jnp.float32)
+        raw_big = jnp.einsum("fs,sb->fb", scatter, hist_c,
+                             precision=jax.lax.Precision.HIGHEST)
+        raw_hist = jnp.where(big[:, None], raw_big, raw_hist)
+        raw_hist = jnp.where(bvalid[:, None], raw_hist, 0.0)
     else:
-        patch = _gather_patches(coarse, xi, yi, level)
-    # mask BEFORE the gradient math: out-of-image pixels become the
-    # reference's zero fill, and skipped-DMA windows (invalid slots)
-    # can hold arbitrary scratch values incl. NaN
-    patch = jnp.where(valid_px & bvalid[:, None, None], patch, 0.0)
-
-    # central-difference gradients on the interior 13x13
-    gx = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]
-    gy = patch[:, :-2, 1:-1] - patch[:, 2:, 1:-1]
-
-    ioffs = offs[1:-1].astype(jnp.float32)                # [-6..6]
-    dx = ioffs[None, :] * step[:, None].astype(jnp.float32)  # [F, 13]
-    dy = dx
-    in_grad = ((jnp.abs(dx) <= radius[:, None])[:, None, :]
-               & (jnp.abs(dy) <= radius[:, None])[:, :, None]
-               & valid_px[:, 1:-1, 1:-1])
-    contrib_mask = in_grad & ((gx != 0.0) | (gy != 0.0)) & bvalid[:, None, None]
-
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    dist = dx[:, None, :] ** 2 + dy[:, :, None] ** 2
-    weight = jnp.exp(-dist / (2.0 * sigma * sigma)[:, None, None])
-    contrib = jnp.where(contrib_mask, weight * mag, 0.0)  # [F, 13, 13]
-
-    ang = jnp.arctan2(gy, gx)
-    b = jnp.round(ang * (C.N_ORI_BINS / (2.0 * np.pi))).astype(jnp.int32)
-    b = jnp.mod(b, C.N_ORI_BINS)
-
-    onehot = (b[..., None] == jnp.arange(C.N_ORI_BINS)[None, None, None, :])
-    raw_hist = jnp.sum(contrib[..., None] * onehot, axis=(1, 2))  # [F, 36]
+        if use_pallas:
+            patch = _sample_ori_patches_pallas(coarse, xi, yi, level,
+                                               bvalid, interpret)
+        else:
+            patch = _gather_patches(coarse, xi, yi, level)
+        # mask BEFORE the gradient math: out-of-image pixels become the
+        # reference's zero fill, and skipped-DMA windows (invalid slots)
+        # can hold arbitrary scratch values incl. NaN
+        patch = jnp.where(valid_px & bvalid[:, None, None], patch, 0.0)
+        raw_hist = _raw_hist_from_patches(patch, valid_px, step, radius,
+                                          sigma, bvalid)
 
     # circular [1,4,6,4,1]/16 smoothing
     r = lambda s: jnp.roll(raw_hist, s, axis=-1)

@@ -1,0 +1,221 @@
+"""Fused orientation-histogram kernel: window DMA + gradient math +
+36-bin histogram in ONE Pallas kernel.
+
+Motivation (round-3 end-to-end ablations, scripts/bench_ablate.py): the
+orientation stage cost 15.5 ms/8-frame batch, of which the XLA side —
+one-hot patch extraction (~2-4 ms) and especially the [F,169,36]
+one-hot bin contraction (~4.5 ms) — dominated the actual window DMA
+fetch (3.9 ms).  The fetch kernel is scalar-issue-bound with the VPU
+idle, so the whole per-item histogram pipeline runs here for ~free,
+and the HBM round trip of [F, 24, 128] windows shrinks to [F, 128]
+histograms (12x less output traffic).
+
+Per item (all [24, 128] vector ops from prefetched scalars — no
+extraction step at all; the patch lives WHERE IT IS in the window and
+masks select it):
+    x_img(col) = xi + (col - x_local - 7) * step     (same for y)
+    val  = win * [0 <= x_img < W] * [0 <= y_img < H]  (zero-fill mask)
+    gx   = roll(val, -1, lanes) - roll(val, +1, lanes)
+    gy   = roll(val, +1, rows)  - roll(val, -1, rows)
+    bin  = round(atan2(gy, gx) * 36 / 2pi) mod 36    (sector tests —
+           ops/orientation.py:gradient_bin; Mosaic has no atan2)
+    w    = exp(-(dx^2 + dy^2) / (2 sigma^2))
+    c    = [interior 13x13] [|dx|,|dy| <= radius] [g != 0] * w * |g|
+    hist[b] = sum(c * [bin == b])            (36 masked reduces)
+
+Semantics match ops/orientation.py:orientation_histograms bit-for-bit
+up to f32 reduction order (parity: tests/test_orientation.py interpret
+mode); levels >= _DECIM_LEVELS use the XLA gather fallback path as
+before (ops/orientation.py merges).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.custom_batching import custom_vmap
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN_H = 24
+WIN_W = 128
+N_BINS = 36
+_R = 7
+_PS = 15
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _kernel(nv_ref, sel_ref, oy_ref, ox_ref, fp_ref, canvas_ref, out_ref,
+            win, sem, *, kb):
+    """fp_ref rows: 0 y_local, 1 x_local, 2 xi, 3 yi, 4 step, 5 radius,
+    6 -1/(2 sigma^2), 7 w_act, 8 h_act (all f32, per item)."""
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    nv = nv_ref[0]
+
+    def dma(prog, slot, j):
+        idx = prog * kb + j
+        oy = pl.multiple_of(oy_ref[idx], 8)
+        ox = pl.multiple_of(ox_ref[idx], 128)
+        return pltpu.make_async_copy(
+            canvas_ref.at[0, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)],
+            win.at[slot, j],
+            sem.at[slot, j],
+        )
+
+    def start_chunk(prog, slot):
+        for j in range(kb):
+            @pl.when(sel_ref[prog * kb + j] >= 0)
+            def _(j=j):
+                dma(prog, slot, j).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_chunk(0, 0)
+
+    @pl.when((g + 1 < n_g) & ((g + 1) * kb < nv))
+    def _():
+        start_chunk(g + 1, (g + 1) % 2)
+
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_H, WIN_W), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_H, WIN_W), 1).astype(jnp.float32)
+    lane36 = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_W), 1)
+
+    def body(j, k):
+        yl = fp_ref[0, k]
+        xl = fp_ref[1, k]
+        xi = fp_ref[2, k]
+        yi = fp_ref[3, k]
+        step = fp_ref[4, k]
+        radius = fp_ref[5, k]
+        nis2 = fp_ref[6, k]
+        w_act = fp_ref[7, k]
+        h_act = fp_ref[8, k]
+
+        @pl.when(sel_ref[g * kb + j] >= 0)
+        def _():
+            dma(g, g % 2, j).wait()
+            w0 = win[g % 2, j]                       # [24, 128] f32
+
+            # patch-relative coordinates of every window pixel
+            pr = rows - yl                           # patch row (f32)
+            pc = cols - xl
+            x_img = xi + (pc - _R) * step
+            y_img = yi + (pr - _R) * step
+            # zero-fill out-of-image BEFORE gradients (reference
+            # semantics; also masks pad-region mirror content in the
+            # pad-to-max engine).  ALSO zero everything outside the
+            # 15x15 patch: blobs near the top edge get y_local < 0
+            # (window origin clamped to 0), and the gradient rolls then
+            # WRAP to far window rows — the XLA path reads the patch's
+            # zero padding there, so the wrapped lanes must be zero.
+            inside = ((x_img >= 0.0) & (x_img < w_act)
+                      & (y_img >= 0.0) & (y_img < h_act)
+                      & (pr >= 0.0) & (pr <= 14.0)
+                      & (pc >= 0.0) & (pc <= 14.0))
+            val = jnp.where(inside, w0, 0.0)
+
+            # negated-central-difference gradients (lane/sublane rolls;
+            # pltpu.roll needs non-negative shifts: -1 == size-1;
+            # wraparound rows/cols fall outside the interior mask)
+            gx = (pltpu.roll(val, WIN_W - 1, 1) - pltpu.roll(val, 1, 1))
+            gy = (pltpu.roll(val, 1, 0) - pltpu.roll(val, WIN_H - 1, 0))
+
+            dx = (pc - _R) * step
+            dy = (pr - _R) * step
+            interior = ((pr >= 1.0) & (pr <= 13.0)
+                        & (pc >= 1.0) & (pc <= 13.0))
+            in_grad = (interior & inside
+                       & (jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
+                       & ((gx != 0.0) | (gy != 0.0)))
+            mag = jnp.sqrt(gx * gx + gy * gy)
+            weight = jnp.exp((dx * dx + dy * dy) * nis2)
+            contrib = jnp.where(in_grad, weight * mag, 0.0)
+
+            # transcendental-free sector binning (Mosaic has no atan2);
+            # shared rule => bit-identical to the XLA path and golden
+            from ..ops.orientation import gradient_bin
+            b = gradient_bin(gx, gy)
+
+            acc = jnp.zeros((1, WIN_W), jnp.float32)
+            for bb in range(N_BINS):
+                s = jnp.sum(jnp.where(b == bb, contrib, 0.0))
+                acc = acc + jnp.where(lane36 == bb, s, 0.0)
+            out_ref[j, :] = acc[0]
+
+    for j in range(kb):
+        @pl.when(g * kb < nv)
+        def _(j=j):
+            body(j, g * kb + j)
+
+
+@functools.lru_cache(maxsize=None)
+def _core(kb: int, interpret: bool):
+    @custom_vmap
+    def core(nv, sel, oy, ox, fp, canvas):
+        Fp = sel.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(Fp // kb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((kb, WIN_W), lambda g, *_: (g, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, kb, WIN_H, WIN_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, kb)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, kb=kb),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Fp, WIN_W), jnp.float32),
+            interpret=interpret,
+        )(nv, sel, oy, ox, fp, canvas)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, nv, sel, oy, ox, fp, canvas):
+        B = axis_size
+        args = tuple(
+            a if bt else jnp.broadcast_to(a, (B,) + a.shape)
+            for a, bt in zip((nv, sel, oy, ox, fp, canvas), in_batched))
+        out = jnp.stack([core(*(a[b] for a in args)) for b in range(B)])
+        return out, True
+
+    return core
+
+
+@functools.partial(jax.jit, static_argnames=("kb", "interpret"))
+def fetch_histograms(
+    arena: jnp.ndarray,      # [1, Ha, Wa] f32 (ops/orientation._arena_canvas)
+    sel: jnp.ndarray,        # [F] i32, -1 = skip
+    oy: jnp.ndarray,         # [F] i32 multiples of 8 (arena-global)
+    ox: jnp.ndarray,         # [F] i32 multiples of 128
+    fparams: jnp.ndarray,    # [9, F] f32 (see _kernel)
+    kb: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[F, 36] raw orientation histograms."""
+    F = sel.shape[0]
+    Fp = _round_up(max(F, kb), kb)
+    if Fp != F:
+        sel = jnp.pad(sel, (0, Fp - F), constant_values=-1)
+        oy = jnp.pad(oy, (0, Fp - F))
+        ox = jnp.pad(ox, (0, Fp - F))
+        fparams = jnp.pad(fparams, ((0, 0), (0, Fp - F)))
+    # in-bounds clamp (alignment-preserving) — an OOB async copy is a
+    # worker-killing fault (see pallas/windows.py:_clamp_dma)
+    _, Ha, Wa = arena.shape
+    oy = jnp.clip(oy, 0, max(((Ha - WIN_H) // 8) * 8, 0))
+    ox = jnp.clip(ox, 0, max(((Wa - WIN_W) // 128) * 128, 0))
+    nv = jnp.max(jnp.where(
+        sel >= 0, jnp.arange(1, Fp + 1, dtype=jnp.int32), 0), keepdims=True)
+    out = _core(kb, interpret)(nv, sel, oy, ox, fparams, arena)
+    return out[:F, :N_BINS]

@@ -254,6 +254,48 @@ def ablate(stage):
             angles = 360.0 - (360.0 / Cc.N_ORI_BINS) * bin_f
             return angles, peak
         o.orientation_histograms = fake
+    elif stage == "dgrad":
+        # fake the blur + gradients + rsqrt chain (keeps lift + pooling)
+        import local_features_tpu.ops.descriptor as dd
+
+        def fake(patches):
+            K = patches.shape[0]
+            base = jnp.sin(jnp.arange(1024, dtype=jnp.float32) * 0.13)
+            m = jnp.broadcast_to(base, (K, 1024)).reshape(K, 32, 32) \
+                + patches * 1e-20
+            c = jnp.broadcast_to(jnp.cos(base * 2), (K, 1024)
+                                 ).reshape(K, 32, 32) + patches * 1e-20
+            s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+            return m, c, s
+        dd._patches_mag_cos_sin = fake
+    elif stage == "dlift":
+        # fake the von Mises recurrence stack (keeps gradient chain +
+        # pooling matmuls, same [7, K, N] materialization)
+        import local_features_tpu.ops.descriptor as dd
+
+        def fake(c1, s1, m, coef, axis=1, out_dtype=None):
+            v = (m + c1 * 1e-20 + s1 * 1e-20)
+            if out_dtype is not None:
+                v = v.astype(out_dtype)
+            reps = [v] * 7
+            return jnp.stack(reps, axis=axis)
+        dd._vm_stack = fake
+    elif stage == "dpool":
+        # fake the pooling matmuls + combine (keeps gradient + lift)
+        import local_features_tpu.ops.descriptor as dd
+
+        real_raw = dd.raw_mkd_descriptors
+
+        def fake(patches, fast=False):
+            import local_features_tpu.constants as Cc
+            K = patches.shape[0]
+            mag, c1, s1 = dd._patches_mag_cos_sin(patches)
+            lift = dd._vm_stack(c1.reshape(K, -1), s1.reshape(K, -1),
+                                mag.reshape(K, -1), Cc.VM_FOURIER_N3_K8,
+                                axis=0, out_dtype=jnp.bfloat16)
+            s = jnp.sum(lift.astype(jnp.float32), axis=(0, 2))   # [K]
+            return jnp.zeros((K, 238)) + s[:, None] * 1e-20 + 0.06
+        dd.raw_mkd_descriptors = fake
     elif stage == "desc":
         import local_features_tpu.ops.descriptor as dd
 

@@ -37,6 +37,12 @@ def main():
                     help="also persist the sequence in TUM layout")
     args = ap.parse_args()
 
+    # CPU by default (LF_PLATFORM=tpu to override): the site hook pins
+    # JAX_PLATFORMS=axon over env prefixes, and this long CPU-bound SfM
+    # workload must not contend for the single tunneled TPU
+    from local_features_tpu.utils.platform import apply_platform_env
+    apply_platform_env(default="cpu")
+
     import jax
     import jax.numpy as jnp
 
