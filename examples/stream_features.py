@@ -121,9 +121,11 @@ def main() -> int:
                                       args.height, args.width)
         print(f"synthetic stream: {len(paths)} frames")
 
-    if not native.available():
-        print(f"native loader unavailable ({native.build_error()}); "
-              "falling back to PIL")
+    use_native = native.available() and all(map(native.supports, paths))
+    if not use_native:
+        why = (f"unavailable ({native.build_error()})" if
+               not native.available() else "unsupported format in stream")
+        print(f"native loader {why}; falling back to PIL")
 
     cfg = FrontendConfig(
         n_scales=4, max_blobs=4 * args.max_features,
@@ -148,9 +150,15 @@ def main() -> int:
     prev_desc = jnp.zeros((K, 128), jnp.float32)
     prev_valid = jnp.zeros((K,), bool)
 
+    def _pil_frames(ps, h, w):
+        from PIL import Image
+        for p in ps:
+            im = Image.open(p).convert("L").resize((w, h), Image.BILINEAR)
+            yield np.asarray(im, np.float32) / 255.0
+
     loader = native.FramePipeline(paths, args.height, args.width,
                                   n_threads=4, queue_cap=2 * B) \
-        if native.available() else iter([])
+        if use_native else _pil_frames(paths, args.height, args.width)
 
     overlay_dir = None
     if args.overlay:

@@ -5,14 +5,17 @@ pybind11 needed).  Provides:
 
 - fast u8->f32 grayscale / BT.601 RGB->gray conversion
 - bilinear resize
-- PGM/PPM loading
+- PGM/PPM loading; JPEG/PNG when the system codecs (libjpeg/libpng)
+  are present at build time (`has_jpeg()`/`has_png()` report the
+  capabilities of the built library)
 - `FramePipeline`: a multi-threaded prefetching loader that decodes,
   converts and resizes frames on worker threads while the TPU computes —
   the data-loader role the reference fills with its native camera/upload
   path (examples/webcam/src/camera.rs, vulkan/tasks_detect.rs:20-48).
 
 Everything degrades gracefully: `available()` is False when no compiler
-is present, and callers fall back to NumPy/PIL paths.
+is present, the build retries without each missing codec, and callers
+fall back to NumPy/PIL paths.
 """
 
 from __future__ import annotations
@@ -34,20 +37,33 @@ _build_error: str | None = None
 
 
 def _build() -> str | None:
-    """Compile the shared library if needed; returns an error string."""
+    """Compile the shared library if needed; returns an error string.
+
+    Tries the full codec set first, then drops JPEG/PNG individually so
+    a machine without the system libraries still gets the PNM/raw core.
+    """
     if (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return None
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           "-o", _LIB_PATH, _SRC]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=240)
-    except (OSError, subprocess.TimeoutExpired) as e:
-        return f"g++ invocation failed: {e}"
-    if proc.returncode != 0:
-        return f"g++ failed:\n{proc.stderr}"
-    return None
+    attempts = [
+        (["-DLF_HAVE_JPEG", "-DLF_HAVE_PNG"], ["-ljpeg", "-lpng"]),
+        (["-DLF_HAVE_JPEG"], ["-ljpeg"]),
+        (["-DLF_HAVE_PNG"], ["-lpng"]),
+        ([], []),
+    ]
+    last = ""
+    for defines, libs in attempts:
+        cmd = (["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+               + defines + ["-o", _LIB_PATH, _SRC] + libs)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=240)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            return f"g++ invocation failed: {e}"
+        if proc.returncode == 0:
+            return None
+        last = proc.stderr
+    return f"g++ failed:\n{last}"
 
 
 def _load():
@@ -72,6 +88,14 @@ def _load():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
         lib.lf_load_pnm_gray.restype = ctypes.c_int
+        lib.lf_load_image_gray.argtypes = lib.lf_load_pnm_gray.argtypes
+        lib.lf_load_image_gray.restype = ctypes.c_int
+        lib.lf_probe_image.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.lf_probe_image.restype = ctypes.c_int
+        lib.lf_has_jpeg.restype = ctypes.c_int
+        lib.lf_has_png.restype = ctypes.c_int
         lib.lf_pipeline_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int64]
@@ -85,6 +109,30 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def has_jpeg() -> bool:
+    lib = _load()
+    return bool(lib and lib.lf_has_jpeg())
+
+
+def has_png() -> bool:
+    lib = _load()
+    return bool(lib and lib.lf_has_png())
+
+
+def supports(path: str) -> bool:
+    """Whether the built library can decode `path` natively (by suffix)."""
+    if not available():
+        return False
+    s = path.lower()
+    if s.endswith((".pgm", ".ppm", ".pnm")):
+        return True
+    if s.endswith((".jpg", ".jpeg")):
+        return has_jpeg()
+    if s.endswith(".png"):
+        return has_png()
+    return False
 
 
 def build_error() -> str | None:
@@ -150,8 +198,40 @@ def load_pnm_gray(path: str, oh: int = 0, ow: int = 0) -> np.ndarray:
     return out
 
 
+def probe_image(path: str) -> tuple[int, int]:
+    """(height, width) of any supported image, without decoding pixels."""
+    lib = _load()
+    sh = ctypes.c_int64()
+    sw = ctypes.c_int64()
+    rc = lib.lf_probe_image(path.encode(), ctypes.byref(sh),
+                            ctypes.byref(sw))
+    if rc != 0:
+        raise IOError(f"lf_probe_image({path}) failed with {rc}")
+    return int(sh.value), int(sw.value)
+
+
+def load_image_gray(path: str, oh: int = 0, ow: int = 0) -> np.ndarray:
+    """Load any supported image (PNM always; JPEG/PNG when built with the
+    system codecs) as f32 gray, optionally resized to (oh, ow)."""
+    lib = _load()
+    if not (oh and ow):
+        oh_probe, ow_probe = probe_image(path)
+        out = np.empty((oh_probe, ow_probe), np.float32)
+        oh, ow = 0, 0
+    else:
+        out = np.empty((oh, ow), np.float32)
+    sh = ctypes.c_int64()
+    sw = ctypes.c_int64()
+    rc = lib.lf_load_image_gray(path.encode(), out.ctypes.data, oh, ow,
+                                ctypes.byref(sh), ctypes.byref(sw))
+    if rc != 0:
+        raise IOError(f"lf_load_image_gray({path}) failed with {rc}")
+    return out
+
+
 class FramePipeline:
-    """Threaded prefetching frame loader (PGM/PPM -> f32 gray frames).
+    """Threaded prefetching frame loader -> f32 gray frames (PNM always;
+    JPEG/PNG when the library was built with the system codecs).
 
     Iterates frames in order while worker threads decode ahead.
     """

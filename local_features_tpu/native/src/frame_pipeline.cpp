@@ -8,10 +8,17 @@
 // preprocessing with device compute.  Exposed to Python via a plain C ABI
 // (ctypes — no pybind11 dependency).
 //
-// Supported sources: PGM (P5), PPM (P6), raw u8 gray, raw f32 gray.
+// Supported sources: PGM (P5), PPM (P6), raw u8 gray, raw f32 gray, and
+// — when the system libraries are present at build time (the Python
+// binding probes and degrades, native/__init__.py:_build) — JPEG
+// (libjpeg) and PNG (libpng).  Compressed decode on worker threads is
+// the case where overlapping host work with TPU compute actually pays:
+// a 640x480 JPEG costs ~2-4 ms of CPU, comparable to the per-frame
+// device time at bench throughput.
 
 #include <atomic>
 #include <condition_variable>
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -20,6 +27,13 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#ifdef LF_HAVE_JPEG
+#include <jpeglib.h>
+#endif
+#ifdef LF_HAVE_PNG
+#include <png.h>
+#endif
 
 extern "C" {
 
@@ -126,7 +140,149 @@ bool parse_pnm_header(const std::vector<uint8_t>& buf, int* magic,
   return true;
 }
 
+#ifdef LF_HAVE_JPEG
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(e->jb, 1);
+}
+
+// Decode to u8 gray (1 ch) or RGB (3 ch).  Returns false on any libjpeg
+// error (routed through setjmp — libjpeg's default error path exits).
+bool decode_jpeg(const std::vector<uint8_t>& buf, std::vector<uint8_t>* pix,
+                 int64_t* h, int64_t* w, int* channels) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf.data(), buf.size());
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space =
+      cinfo.num_components == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  *channels = cinfo.output_components;
+  pix->resize((size_t)(*h) * (*w) * (*channels));
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = pix->data() +
+                   (size_t)cinfo.output_scanline * (*w) * (*channels);
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool probe_jpeg(const std::vector<uint8_t>& buf, int64_t* h, int64_t* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf.data(), buf.size());
+  jpeg_read_header(&cinfo, TRUE);
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+#endif  // LF_HAVE_JPEG
+
+#ifdef LF_HAVE_PNG
+
+// Simplified libpng (>= 1.6) read API: gray sources stay gray (no
+// coefficient surprises), color collapses through our own BT.601 below.
+bool decode_png(const std::vector<uint8_t>& buf, std::vector<uint8_t>* pix,
+                int64_t* h, int64_t* w, int* channels) {
+  png_image image;
+  std::memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, buf.data(), buf.size()))
+    return false;
+  const bool gray = (image.format & PNG_FORMAT_FLAG_COLOR) == 0;
+  image.format = gray ? PNG_FORMAT_GRAY : PNG_FORMAT_RGB;
+  *w = image.width;
+  *h = image.height;
+  *channels = gray ? 1 : 3;
+  pix->resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, pix->data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  return true;
+}
+
+bool probe_png(const std::vector<uint8_t>& buf, int64_t* h, int64_t* w) {
+  png_image image;
+  std::memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, buf.data(), buf.size()))
+    return false;
+  *w = image.width;
+  *h = image.height;
+  png_image_free(&image);
+  return true;
+}
+
+#endif  // LF_HAVE_PNG
+
+enum class Kind { kPnm5, kPnm6, kJpeg, kPng, kUnknown };
+
+Kind sniff(const std::vector<uint8_t>& buf) {
+  if (buf.size() >= 2 && buf[0] == 'P' && buf[1] == '5') return Kind::kPnm5;
+  if (buf.size() >= 2 && buf[0] == 'P' && buf[1] == '6') return Kind::kPnm6;
+  if (buf.size() >= 2 && buf[0] == 0xFF && buf[1] == 0xD8)
+    return Kind::kJpeg;
+  if (buf.size() >= 4 && buf[0] == 0x89 && buf[1] == 'P' && buf[2] == 'N' &&
+      buf[3] == 'G')
+    return Kind::kPng;
+  return Kind::kUnknown;
+}
+
+int finish_gray(const float* gray, int64_t h, int64_t w, float* dst,
+                int64_t oh, int64_t ow) {
+  if (oh > 0 && ow > 0 && (oh != h || ow != w)) {
+    lf_resize_bilinear_f32(gray, h, w, dst, oh, ow);
+  } else {
+    std::memcpy(dst, gray, sizeof(float) * h * w);
+  }
+  return 0;
+}
+
 }  // namespace
+
+// Build-time decoder capabilities (the Python binding reports these).
+int lf_has_jpeg(void) {
+#ifdef LF_HAVE_JPEG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+int lf_has_png(void) {
+#ifdef LF_HAVE_PNG
+  return 1;
+#else
+  return 0;
+#endif
+}
 
 // Load a PGM/PPM into a float32 gray buffer (resizing if oh/ow > 0).
 // Returns 0 on success; fills *out_h/*out_w with the source dims.
@@ -150,12 +306,76 @@ int lf_load_pnm_gray(const char* path, float* dst, int64_t oh, int64_t ow,
   } else {
     return -4;
   }
-  if (oh > 0 && ow > 0 && (oh != h || ow != w)) {
-    lf_resize_bilinear_f32(gray.data(), h, w, dst, oh, ow);
-  } else {
-    std::memcpy(dst, gray.data(), sizeof(float) * h * w);
+  return finish_gray(gray.data(), h, w, dst, oh, ow);
+}
+
+// Dimensions of any supported image without decoding pixel data.
+// Returns 0 on success, -1 unreadable, -4 unsupported format.
+int lf_probe_image(const char* path, int64_t* out_h, int64_t* out_w) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  switch (sniff(buf)) {
+    case Kind::kPnm5:
+    case Kind::kPnm6: {
+      int magic;
+      size_t off;
+      return parse_pnm_header(buf, &magic, out_w, out_h, &off) ? 0 : -2;
+    }
+#ifdef LF_HAVE_JPEG
+    case Kind::kJpeg:
+      return probe_jpeg(buf, out_h, out_w) ? 0 : -2;
+#endif
+#ifdef LF_HAVE_PNG
+    case Kind::kPng:
+      return probe_png(buf, out_h, out_w) ? 0 : -2;
+#endif
+    default:
+      return -4;
   }
-  return 0;
+}
+
+// Load ANY supported image (PGM/PPM always; JPEG/PNG when built with the
+// system codecs) into a float32 gray buffer, resizing if oh/ow > 0.
+// Color collapses via the same BT.601 kernel as the raw-RGB entry point.
+// Returns 0 ok, -1 unreadable, -2 corrupt, -4 unsupported format.
+int lf_load_image_gray(const char* path, float* dst, int64_t oh, int64_t ow,
+                       int64_t* out_h, int64_t* out_w) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  const Kind kind = sniff(buf);
+  if (kind == Kind::kPnm5 || kind == Kind::kPnm6)
+    return lf_load_pnm_gray(path, dst, oh, ow, out_h, out_w);
+
+  std::vector<uint8_t> pix;
+  int64_t h = 0, w = 0;
+  int channels = 0;
+  bool ok = false;
+  switch (kind) {
+#ifdef LF_HAVE_JPEG
+    case Kind::kJpeg:
+      ok = decode_jpeg(buf, &pix, &h, &w, &channels);
+      break;
+#endif
+#ifdef LF_HAVE_PNG
+    case Kind::kPng:
+      ok = decode_png(buf, &pix, &h, &w, &channels);
+      break;
+#endif
+    default:
+      return -4;
+  }
+  if (!ok || h <= 0 || w <= 0) return -2;
+  *out_h = h;
+  *out_w = w;
+  std::vector<float> gray(h * w);
+  if (channels == 1) {
+    lf_gray_u8_to_f32(pix.data(), gray.data(), h * w);
+  } else if (channels == 3) {
+    lf_rgb_u8_to_gray_f32(pix.data(), gray.data(), h * w);
+  } else {
+    return -2;
+  }
+  return finish_gray(gray.data(), h, w, dst, oh, ow);
 }
 
 // ---------------------------------------------------------------------
@@ -201,8 +421,8 @@ void worker_loop(Pipeline* p) {
     fr.index = idx;
     fr.data.resize(p->oh * p->ow);
     int64_t sh, sw;
-    fr.status = lf_load_pnm_gray(p->paths[idx].c_str(), fr.data.data(),
-                                 p->oh, p->ow, &sh, &sw);
+    fr.status = lf_load_image_gray(p->paths[idx].c_str(), fr.data.data(),
+                                   p->oh, p->ow, &sh, &sw);
     {
       std::lock_guard<std::mutex> lk(p->mu);
       p->done.push_back(std::move(fr));

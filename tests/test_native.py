@@ -113,3 +113,72 @@ def test_load_pnm_with_comments(tmp_path, rng):
         f.write(g.tobytes())
     got = native.load_pnm_gray(str(p))
     np.testing.assert_allclose(got, g.astype(np.float32) / 255.0, atol=1e-6)
+
+
+@pytest.mark.skipif(not (native.available() and native.has_png()),
+                    reason="built without libpng")
+def test_load_png(tmp_path, rng):
+    """Native PNG decode: gray is lossless-exact; RGB collapses through
+    the same BT.601 kernel as the raw-RGB entry point."""
+    from PIL import Image
+
+    g = rng.integers(0, 256, (21, 33), dtype=np.uint8)
+    p = tmp_path / "g.png"
+    Image.fromarray(g, "L").save(p)
+    got = native.load_image_gray(str(p))
+    np.testing.assert_allclose(got, g.astype(np.float32) / 255.0, atol=0)
+
+    c = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+    p2 = tmp_path / "c.png"
+    Image.fromarray(c, "RGB").save(p2)
+    got2 = native.load_image_gray(str(p2))
+    ref2 = native.rgb_u8_to_gray_f32(c)
+    np.testing.assert_allclose(got2, ref2, atol=1e-6)
+    assert native.probe_image(str(p2)) == (19, 27)
+
+
+@pytest.mark.skipif(not (native.available() and native.has_jpeg()),
+                    reason="built without libjpeg")
+def test_load_jpeg(tmp_path, rng):
+    """Native JPEG decode agrees with PIL's decode of the SAME file
+    (both sit on libjpeg) after identical BT.601 collapse."""
+    from PIL import Image
+
+    # smooth image -> JPEG round trip is near-exact at quality 95
+    yy, xx = np.mgrid[0:40, 0:56]
+    c = np.stack([np.sin(xx / 9.0), np.cos(yy / 7.0),
+                  np.sin((xx + yy) / 11.0)], axis=-1)
+    c = ((c * 0.5 + 0.5) * 255).astype(np.uint8)
+    p = tmp_path / "s.jpg"
+    Image.fromarray(c, "RGB").save(p, quality=95)
+    got = native.load_image_gray(str(p))
+    dec = np.asarray(Image.open(p).convert("RGB"))
+    ref = native.rgb_u8_to_gray_f32(dec)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    assert native.probe_image(str(p)) == (40, 56)
+
+
+@pytest.mark.skipif(not (native.available() and native.has_png()),
+                    reason="built without libpng")
+def test_frame_pipeline_mixed_formats(tmp_path, rng):
+    """The threaded loader decodes mixed PNM/PNG sources in order."""
+    from PIL import Image
+
+    g1 = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    g2 = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    p1 = tmp_path / "a.pgm"
+    _write_pgm(p1, g1)
+    p2 = tmp_path / "b.png"
+    Image.fromarray(g2, "L").save(p2)
+    with native.FramePipeline([str(p1), str(p2)], 16, 24) as pipe:
+        out = list(pipe)
+    assert len(out) == 2
+    np.testing.assert_allclose(out[0], g1.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(out[1], g2.astype(np.float32) / 255.0)
+
+
+def test_supports_suffix_gate():
+    assert native.supports("x.pgm") and native.supports("x.ppm")
+    assert native.supports("x.jpg") == native.has_jpeg()
+    assert native.supports("x.png") == native.has_png()
+    assert not native.supports("x.bmp")
