@@ -37,24 +37,66 @@ class OdometryResult:
         return np.einsum("cji,cj->ci", self.R, -self.t)
 
 
-def _sim3_align(R_a, t_a, R_b, t_b):
+def _sim3_align(R_a, t_a, R_b, t_b, scale=None):
     """Sim(3) (s, R, t) mapping chunk-b world coords into chunk-a world
     coords, from >= 2 shared cameras.
 
     Camera centers satisfy C_a = s * Rw @ C_b + tw; rotations satisfy
-    R_a[i] = R_b[i] @ Rw^T.
-    """
+    R_a[i] = R_b[i] @ Rw^T.  `scale` overrides the center-distance
+    estimate (used when a structure-based estimate is available —
+    _shared_track_scale)."""
     C_a = np.einsum("cji,cj->ci", R_a, -t_a)
     C_b = np.einsum("cji,cj->ci", R_b, -t_b)
     # rotation from the first shared camera's orientation
     Rw = R_b[0].T @ R_a[0]
-    # scale from pairwise center distances
-    d_a = np.linalg.norm(C_a[1:] - C_a[0], axis=-1)
-    d_b = np.linalg.norm(C_b[1:] - C_b[0], axis=-1)
-    ok = d_b > 1e-9
-    s = float(np.median(d_a[ok] / d_b[ok])) if ok.any() else 1.0
+    if scale is None:
+        # scale from pairwise center distances
+        d_a = np.linalg.norm(C_a[1:] - C_a[0], axis=-1)
+        d_b = np.linalg.norm(C_b[1:] - C_b[0], axis=-1)
+        ok = d_b > 1e-9
+        s = float(np.median(d_a[ok] / d_b[ok])) if ok.any() else 1.0
+    else:
+        s = float(scale)
     tw = C_a[0] - s * (C_b[0] @ Rw)
     return s, Rw, tw
+
+
+def _shared_track_scale(rec_a, off_a, rec_b, off_b, shared_frames):
+    """Median per-track depth ratio between two window reconstructions
+    over tracks they observe in COMMON (same (global frame, keypoint)
+    observation — the windows share the detected features, so identical
+    keys mean the identical physical track).
+
+    Returns (scale a/b, n_common).  Depths are measured in the first
+    shared camera of each window; with hundreds of shared tracks this
+    beats the (overlap-1) camera-center distance ratios by an order of
+    magnitude in robustness (overlap=2 gives ONE distance)."""
+    if rec_a.track_obs is None or rec_b.track_obs is None:
+        return 1.0, 0
+    f = shared_frames[0]
+    la, lb = f - off_a, f - off_b
+    key_to_a = {}
+    for p, tr in enumerate(rec_a.track_obs):
+        k = tr.get(la)
+        if k is not None:
+            key_to_a[k] = p
+    za, zb = [], []
+    Ra, ta = rec_a.R[la], rec_a.t[la]
+    Rb, tb = rec_b.R[lb], rec_b.t[lb]
+    for p, tr in enumerate(rec_b.track_obs):
+        k = tr.get(lb)
+        if k is None or k not in key_to_a:
+            continue
+        Xa = rec_a.X[key_to_a[k]]
+        Xb = rec_b.X[p]
+        za.append(Ra[2] @ Xa + ta[2])
+        zb.append(Rb[2] @ Xb + tb[2])
+    za = np.asarray(za)
+    zb = np.asarray(zb)
+    ok = (za > 1e-6) & (zb > 1e-6)
+    if ok.sum() < 10:
+        return 1.0, int(ok.sum())
+    return float(np.median(za[ok] / zb[ok])), int(ok.sum())
 
 
 def _apply_sim3(s, Rw, tw, R, t):
@@ -147,11 +189,27 @@ def reconstruct_long_sequence(
     R_glob[s0:s0 + window] = rec0.R
     t_glob[s0:s0 + window] = rec0.t
     have[s0:s0 + window] = True
-    for (sc, rec) in chunks[1:]:
+    applied_scale = [1.0]  # per chunk: scale taking its frame -> global
+    for idx, (sc, rec) in enumerate(chunks[1:], start=1):
         shared = [f for f in range(sc, sc + window) if have[f]]
         ids = [f - sc for f in shared]
+        # structure-based scale: the previous chunk owns the shared
+        # frames and observes the SAME tracks there; the median depth
+        # ratio over those tracks (x previous chunk's global scale) is
+        # far more robust than overlap-1 center distances (with
+        # overlap=2 the center estimate is ONE noisy baseline — the
+        # dominant scale-drift source measured on the phototex renders)
+        sp, rec_p = chunks[idx - 1]
+        shared_p = [f for f in shared if sp <= f < sp + window]
+        s_override = None
+        if shared_p:
+            s_tr, n_common = _shared_track_scale(rec_p, sp, rec, sc,
+                                                 shared_p)
+            if n_common >= 10:
+                s_override = s_tr * applied_scale[idx - 1]
         s, Rw, tw = _sim3_align(R_glob[shared], t_glob[shared],
-                                rec.R[ids], rec.t[ids])
+                                rec.R[ids], rec.t[ids], scale=s_override)
+        applied_scale.append(s)
         R_new, t_new = _apply_sim3(s, Rw, tw, rec.R, rec.t)
         for j, f in enumerate(range(sc, sc + window)):
             if not have[f]:

@@ -30,6 +30,11 @@ class Reconstruction:
     mask: np.ndarray       # [C, P]
     cost: float = 0.0
     cost_history: np.ndarray = field(default=None)
+    # per-track observation keys {local_frame: kp_idx} — lets windowed
+    # odometry identify the SAME physical track across overlapping
+    # windows (they share the detected features), so stitching can use
+    # structure, not just the (overlap-1) camera-center distances
+    track_obs: list = field(default=None)
 
     @property
     def camera_centers(self) -> np.ndarray:
@@ -100,10 +105,11 @@ def _build_tracks(pair_matches: list[np.ndarray], n_kps: list[int],
 
 
 def build_observations(feats, pair_matches, min_track_len=2,
-                       extra_matches=None):
+                       extra_matches=None, return_tracks=False):
     """(uv [F, P, 2], mask [F, P]) from per-frame features + consecutive
     pair matches (+ optional loop-closure matches), via union-find
-    track building."""
+    track building.  `return_tracks=True` appends the per-track
+    {frame: kp_idx} observation maps (track p = column p)."""
     F = len(feats)
     tracks = [t for t in _build_tracks(pair_matches,
                                        [len(ft) for ft in feats],
@@ -116,6 +122,8 @@ def build_observations(feats, pair_matches, min_track_len=2,
         for f, k in tr.items():
             uv[f, p] = [feats[f].x[k], feats[f].y[k]]
             mask[f, p] = True
+    if return_tracks:
+        return uv, mask, tracks
     return uv, mask
 
 
@@ -131,6 +139,7 @@ def reconstruct_sequence(
     engine: LocalFeatures | None = None,
     features: list | None = None,
     matches: list[np.ndarray] | None = None,
+    huber_delta: float | None = 2.0,
 ) -> Reconstruction:
     """Reconstruct a short ordered sequence of [F, H, W] grayscale frames.
 
@@ -156,7 +165,8 @@ def reconstruct_sequence(
         descs, dvalid = pad_descriptor_sequence(feats)
         pair_matches = match_consecutive(descs, dvalid, ratio=ratio)
 
-    uv, mask = build_observations(feats, pair_matches, min_track_len)
+    uv, mask, tracks = build_observations(feats, pair_matches,
+                                          min_track_len, return_tracks=True)
     P = uv.shape[1]
     if P < 8:
         raise ValueError(f"too few tracks ({P}) to reconstruct")
@@ -240,12 +250,20 @@ def reconstruct_sequence(
     good = np.isfinite(X_est[:, 0])
     # drop tracks that never triangulated
     uv, mask, X_est = uv[:, good], mask[:, good], X_est[good]
+    tracks = [tr for tr, g in zip(tracks, good) if g]
 
     state0 = BAState(R=jnp.asarray(np.stack(Rs)),
                      t=jnp.asarray(np.stack(ts)),
                      X=jnp.asarray(X_est))
+    # robust loss is NOT optional on real imagery: repetitive texture
+    # produces ratio-test-surviving mismatches, and squared-loss LM warps
+    # the cameras to appease them (measured on the phototex renders:
+    # BA initialized AT ground-truth poses left with one step 86x off;
+    # huber_delta=2 px recovered uniform steps).  The odometry global BA
+    # already used 2.0 (odometry.py:243); the per-window BA now matches.
     result = lm_bundle_adjust(state0, jnp.asarray(uv), jnp.asarray(mask),
-                              intr_j, n_iters=ba_iters)
+                              intr_j, n_iters=ba_iters,
+                              huber_delta=huber_delta)
     return Reconstruction(
         R=np.asarray(result.state.R),
         t=np.asarray(result.state.t),
@@ -253,4 +271,5 @@ def reconstruct_sequence(
         uv=uv, mask=mask,
         cost=float(result.cost),
         cost_history=np.asarray(result.cost_history),
+        track_obs=tracks,
     )
