@@ -38,6 +38,9 @@ if _OWIN_KB < 1:
 # LF_ORI_FUSED=0 falls back to windows-fetch + XLA math (the A/B
 # baseline).  Read once at import (baked into cached traces).
 _ORI_FUSED = os.environ.get("LF_ORI_FUSED", "1") == "1"
+# Lane-packed fused kernel (pallas/orihist.py:_kernel_packed): 8 items
+# share every VPU instruction.  Read once at import.
+_ORI_PACKED = os.environ.get("LF_ORI_PACKED", "0") == "1"
 
 
 class KeypointArrays(NamedTuple):
@@ -321,7 +324,9 @@ def _fused_hist(coarse, xi, yi, level, bvalid, radius, sigma, h_act, w_act,
                 interpret):
     """[F, 36] raw histograms via the fused Pallas kernel (decimated
     levels only — big blobs handled by the caller's fallback merge)."""
-    from ..pallas.orihist import fetch_histograms
+    from ..pallas.orihist import fetch_histograms, fetch_histograms_packed
+    if _ORI_PACKED:
+        fetch_histograms = fetch_histograms_packed
 
     (arena, sel, plane0, oy_glob, ox,
      y_local, x_local) = _arena_offsets(coarse, xi, yi, level, bvalid)

@@ -167,3 +167,27 @@ def test_pallas_orientation_wide_image_packed_arena(rng):
     # column packing actually engaged and bounded the arena
     arena, layout = _arena_canvas(coarse)
     assert any(t[2] > 1 for t in layout)
+
+
+def test_packed_orientation_kernel_matches_gather(test_image, monkeypatch):
+    """Lane-packed fused kernel (interpret) == gather path, regardless
+    of the LF_ORI_PACKED env default."""
+    import numpy as np
+    import jax.numpy as jnp
+    import local_features_tpu.ops.orientation as ori
+
+    monkeypatch.setattr(ori, "_ORI_FUSED", True)
+    monkeypatch.setattr(ori, "_ORI_PACKED", True)
+    coarse = jss.scale_space(jnp.asarray(test_image), 4)
+    blobs = detect_blobs(jss.fine_volume(coarse), max_blobs=256)
+    a1, p1 = ori.orientation_histograms(coarse, blobs.x, blobs.y,
+                                        blobs.size, blobs.valid,
+                                        use_pallas=False)
+    a2, p2 = ori.orientation_histograms(coarse, blobs.x, blobs.y,
+                                        blobs.size, blobs.valid,
+                                        use_pallas=True, interpret=True)
+    v = np.asarray(blobs.valid)
+    assert np.array_equal(np.asarray(p1)[v], np.asarray(p2)[v])
+    pk = np.asarray(p1)[v]
+    d = np.abs(np.asarray(a1)[v] - np.asarray(a2)[v])[pk]
+    assert d.size == 0 or d.max() < 1e-4
