@@ -99,8 +99,29 @@ def _decimated_canvases(coarse):
         Hc = -(-(Hl + 2 * _OWIN_H) // 8) * 8
         Wc = -(-(Wl + (_XPHASE - 1) * _XSTEP + 2 * _OWIN_W) // 128) * 128
         c = jnp.pad(coarse[l], ((0, Hl * sstep - H), (0, Wl * sstep - W)))
-        d = c.reshape(Hl, sstep, Wl, sstep)
-        d = d.transpose(1, 3, 0, 2).reshape(sstep * sstep, Hl, Wl)
+        if sstep == 1:
+            d = c[None]
+        else:
+            # phase decimation as one-hot selection MATMULS (the MXU is
+            # idle here): d[py*s+px] = Ay_py @ c @ Bx_px with
+            # Ay_py[yd, yd*s+py] = 1, Bx_px[xd*s+px, xd] = 1.  Both the
+            # reshape(Hl,s,Wl,s).transpose(1,3,0,2) form and a strided
+            # one-hot conv lower to interleaved relayouts/gathers the
+            # TPU executes ~10 ms/batch slow (measured end to end);
+            # one-hot matmuls are ~0.5 GMAC here — microseconds on the
+            # MXU.  Precision.HIGHEST keeps the 0/1 selection exact.
+            hi = jnp.arange(Hl)
+            wi = jnp.arange(Wl)
+            Ay = (hi[None, :, None] * sstep + jnp.arange(sstep)[:, None, None]
+                  == jnp.arange(Hl * sstep)[None, None, :]
+                  ).astype(jnp.float32)            # [s, Hl, Hl*s]
+            Bx = (wi[None, None, :] * sstep + jnp.arange(sstep)[:, None, None]
+                  == jnp.arange(Wl * sstep)[None, :, None]
+                  ).astype(jnp.float32)            # [s, Wl*s, Wl]
+            hp = jax.lax.Precision.HIGHEST
+            rows = jnp.einsum("phy,yx->phx", Ay, c, precision=hp)
+            d = jnp.einsum("phx,qxw->pqhw", rows, Bx, precision=hp)
+            d = d.reshape(sstep * sstep, Hl, Wl)
         out.append(jnp.concatenate([
             jnp.pad(d, ((0, 0), (0, Hc - Hl),
                         (p * _XSTEP, Wc - Wl - p * _XSTEP)))

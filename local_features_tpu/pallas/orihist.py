@@ -381,10 +381,15 @@ def fetch_histograms_packed(
         sel >= 0, jnp.arange(1, Fp + 1, dtype=jnp.int32), 0), keepdims=True)
     out = _core_packed(kb, interpret)(nv, sel, oy, ox, fparams, arena)
     G = Fp // kb
-    # untangle bins-major blocks: out[g*40 + b, 16*j] = hist[g*8+j, b]
-    h = out.reshape(G, _HROWS, WIN_W)[:, :N_BINS, ::16]   # [G, 36, 8]
-    h = h.transpose(0, 2, 1).reshape(Fp, N_BINS)
-    return h[:F]
+    # untangle bins-major blocks: out[g*40 + b, 16*j] = hist[g*8+j, b].
+    # A strided lane slice ([:, :, ::16]) lowers to a GATHER on TPU
+    # (measured 2.0 ms/batch); a one-hot selection matmul is exact
+    # under HIGHEST and rides the MXU instead.
+    sel_m = (jnp.arange(WIN_W)[:, None] ==
+             jnp.arange(kb)[None, :] * 16).astype(jnp.float32)  # [128, 8]
+    h = jnp.dot(out, sel_m, precision=jax.lax.Precision.HIGHEST)
+    h = h.reshape(G, _HROWS, kb).transpose(0, 2, 1)       # [G, 8, 40]
+    return h.reshape(Fp, _HROWS)[:F, :N_BINS]
 
 
 @functools.partial(jax.jit, static_argnames=("kb", "interpret"))

@@ -41,6 +41,23 @@ class Reconstruction:
         return np.einsum("cji,cj->ci", self.R, -self.t)
 
 
+def _pad_track_bucket(uv, mask, tracks, X=None, bucket=512):
+    """Pad the track dimension up to a multiple of `bucket` (all-False
+    mask, empty observation maps, zero points) so P-keyed jits are
+    shared across windows instead of recompiling per track count."""
+    P = uv.shape[1]
+    Pb = max(bucket, -(-P // bucket) * bucket)
+    if Pb != P:
+        uv = np.pad(uv, ((0, 0), (0, Pb - P), (0, 0)))
+        mask = np.pad(mask, ((0, 0), (0, Pb - P)))
+        tracks = list(tracks) + [{} for _ in range(Pb - P)]
+        if X is not None:
+            X = np.pad(X, ((0, Pb - P), (0, 0)))
+    if X is None:
+        return uv, mask, tracks
+    return uv, mask, tracks, X
+
+
 def _match_pair(desc_a, desc_b, ratio=0.8):
     m = mutual_match(jnp.asarray(desc_a), jnp.asarray(desc_b), ratio=ratio)
     idx = np.asarray(m.indices)
@@ -171,6 +188,15 @@ def reconstruct_sequence(
     if P < 8:
         raise ValueError(f"too few tracks ({P}) to reconstruct")
 
+    # bucket the track dimension: every window of a long sequence has a
+    # DIFFERENT track count, so un-bucketed shapes recompile every
+    # P-keyed jit (RANSAC, triangulation, the whole LM BA) once per
+    # window — ~200 heavy XLA CPU compiles in one process, which is
+    # both slow and crashes the compiler past a threshold (CLAUDE.md).
+    # Padded tracks have mask all-False end to end.
+    uv, mask, tracks = _pad_track_bucket(uv, mask, tracks)
+    P = uv.shape[1]
+
     uv_j = jnp.asarray(uv)
     norm = np.asarray(geo.normalize_points(uv_j, intr_j))
 
@@ -248,9 +274,11 @@ def reconstruct_sequence(
         X_est[new] = Xw_scaled[new]
 
     good = np.isfinite(X_est[:, 0])
-    # drop tracks that never triangulated
+    # drop tracks that never triangulated, re-bucketing the survivors
+    # (the filtered count varies per window too)
     uv, mask, X_est = uv[:, good], mask[:, good], X_est[good]
     tracks = [tr for tr, g in zip(tracks, good) if g]
+    uv, mask, tracks, X_est = _pad_track_bucket(uv, mask, tracks, X_est)
 
     state0 = BAState(R=jnp.asarray(np.stack(Rs)),
                      t=jnp.asarray(np.stack(ts)),

@@ -9,7 +9,10 @@ of bench.py, so the delta is the stage's true end-to-end cost
 (including whatever XLA can no longer overlap).
 
 Usage: python scripts/bench_ablate.py [stage ...]
-Stages: none owin sample hist desc match scale detect
+Stages: none owin sample hist oextract obin oweight oatan obinsum opeak
+        dgrad dlift dpool desc match scale detect
+(scale/detect fakes keep ALL blob slots valid, so downstream load is the
+worst case and their deltas UNDERSTATE the stage's true cost.)
 """
 
 import os
@@ -306,6 +309,137 @@ def ablate(stage):
         dd.mkd_descriptors = fake
         import local_features_tpu.ops.frontend as f
         f.mkd_descriptors = fake
+    elif stage == "scanvas":
+        # fake the sampler's transposed bf16 canvas build (keeps mips +
+        # kernel): delta = transpose/pad/stack cost
+        import local_features_tpu.pallas.sampling as s
+        import local_features_tpu.ops.frontend as f
+
+        def fake(mips):
+            h0, w0 = mips[0].shape
+            Wc = max(s.WIN_X, s._round_up(w0 + 64, 16))
+            Hc = s._round_up(
+                h0 + s.PADT + (s.N_PHASE - 1) * s.PHASE_STEP + s.WIN_Y, 128)
+            seed = (jnp.sum(mips[0][0, :]) * 1e-20).astype(jnp.bfloat16)
+            return jnp.zeros((len(mips) * s.N_PHASE, Wc, Hc),
+                             jnp.bfloat16) + seed
+        s.build_canvas = fake
+    elif stage == "mips":
+        # fake the patch pyramid (keeps canvas + sampler): delta =
+        # binomial blur + decimate chain cost
+        import local_features_tpu.ops.pyramid as pp
+        import local_features_tpu.ops.frontend as f
+
+        real_mips = pp.patch_pyramid_mips
+
+        def fake(coarse, n_levels=None, extent=None):
+            ms = real_mips(coarse, n_levels, extent)
+            seed = jnp.sum(coarse[0, 0, :]) * 1e-20
+            return [jnp.zeros(m.shape, m.dtype) + seed for m in ms]
+        pp.patch_pyramid_mips = fake
+        f.patch_pyramid_mips = fake
+    elif stage == "oarena":
+        # fake the arena-canvas construction (keeps offsets + DMA +
+        # kernel + untangle): delta = decimate/pack/transpose cost
+        import local_features_tpu.ops.orientation as o
+
+        real_arena = o._arena_canvas
+
+        def fake(coarse):
+            arena, layout = real_arena(coarse)
+            # PATTERNED, not zeros: a zero arena yields zero histograms
+            # -> no keypoints -> the whole downstream stage collapses
+            # and the "arena cost" reads as ~10 ms of vanished sampler/
+            # descriptor load (measured; the same trap the owin fake
+            # documents)
+            r = jnp.sin(jnp.arange(arena.shape[2], dtype=jnp.float32)
+                        * 0.37)[None, None, :]
+            c = jnp.cos(jnp.arange(arena.shape[1], dtype=jnp.float32)
+                        * 0.23)[None, :, None]
+            z = (r * c + jnp.sum(coarse[:, 0, :]) * 1e-20
+                 ).astype(arena.dtype) * 0.5
+            return jnp.broadcast_to(z, arena.shape), layout
+        o._arena_canvas = fake
+    elif stage == "okernel":
+        # fake the packed kernel CALL only, keeping the arena live via a
+        # cheap dependency: delta = DMA + kernel + untangle
+        import local_features_tpu.pallas.orihist as oh
+
+        def fake_fetch(arena, sel, oy, ox, fparams, kb=8, interpret=False):
+            F = sel.shape[0]
+            base = jnp.sin(jnp.arange(36, dtype=jnp.float32) * 1.7) + 1.5
+            seed = jnp.sum(arena[0, 0, :]) * 1e-20
+            return (jnp.broadcast_to(base, (F, 36))
+                    + seed + fparams[2, :, None] * 1e-20)
+        oh.fetch_histograms_packed = fake_fetch
+        oh.fetch_histograms = fake_fetch
+    elif stage == "ountangle":
+        # fake the packed kernel's strided-slice output untangle only
+        import local_features_tpu.pallas.orihist as oh
+
+        real_core = oh._core_packed
+
+        def fake_fetch(arena, sel, oy, ox, fparams, kb=8, interpret=False):
+            F = sel.shape[0]
+            Fp = oh._round_up(max(F, kb), kb)
+            if Fp != F:
+                sel = jnp.pad(sel, (0, Fp - F), constant_values=-1)
+                oy = jnp.pad(oy, (0, Fp - F))
+                ox = jnp.pad(ox, (0, Fp - F))
+                fparams = jnp.pad(fparams, ((0, 0), (0, Fp - F)))
+            _, Ha, Wa = arena.shape
+            oy = jnp.clip(oy, 0, max(((Ha - 24) // 8) * 8, 0))
+            ox = jnp.clip(ox, 0, max(((Wa - 128) // 128) * 128, 0))
+            nv = jnp.max(jnp.where(
+                sel >= 0, jnp.arange(1, Fp + 1, dtype=jnp.int32), 0),
+                keepdims=True)
+            out = real_core(kb, interpret)(nv, sel, oy, ox, fparams, arena)
+            # garbage-but-cheap reshape instead of [:, :36, ::16]+T
+            flat = out.reshape(-1)[: Fp * 36].reshape(Fp, 36)
+            return flat[:F]
+        oh.fetch_histograms_packed = fake_fetch
+        import local_features_tpu.ops.orientation  # noqa: F401
+    elif stage == "scale":
+        # fake the scale-space blur chain (keeps fine volume + detect +
+        # everything downstream on a patterned coarse stack)
+        import local_features_tpu.ops.scale_space as ss
+        import local_features_tpu.ops.frontend as f
+
+        def fake(img, n_scales):
+            H, W = img.shape
+            nC = n_scales + 3
+            base = jnp.sin(jnp.arange(H * W, dtype=jnp.float32) * 0.13
+                           ).reshape(H, W)
+            levels = [base * (0.9 ** l) + img * 1e-20 for l in range(nC)]
+            return jnp.stack(levels)
+        ss.scale_space = fake
+        f.scale_space = fake
+    elif stage == "detect":
+        # fake the extremum scan + refine + compaction: a grid of
+        # plausible blobs (keeps orientation/sampler/descriptor load)
+        import local_features_tpu.ops.detect as dd
+        import local_features_tpu.ops.frontend as f
+
+        def fake(fine, max_blobs, min_size=0.0, border=5,
+                 contrast_threshold=None, select_cap=None, extent=None):
+            _, H, W = fine.shape
+            cap = select_cap or max_blobs
+            n = jnp.arange(cap, dtype=jnp.int32)
+            gx = 16 + (n * 29) % (W - 32)
+            gy = 16 + (n * 37) % (H - 32)
+            seed = jnp.sum(fine) * 1e-20
+            return dd.BlobArrays(
+                x=gx.astype(jnp.float32) + seed,
+                y=gy.astype(jnp.float32) + seed,
+                size=jnp.full((cap,), 4.2, jnp.float32) + seed,
+                contrast=jnp.full((cap,), 0.05, jnp.float32) + seed,
+                level=jnp.zeros((cap,), jnp.int32),
+                valid=jnp.ones((cap,), bool),
+                n_total=jnp.asarray(cap, jnp.int32),
+                n_dropped=jnp.asarray(0, jnp.int32),
+            )
+        dd.detect_blobs = fake
+        f.detect_blobs = fake
     elif stage == "match":
         import local_features_tpu.ops.matching as mm
         from typing import NamedTuple

@@ -101,8 +101,13 @@ def main():
         out = subprocess.run(
             [sys.executable] + sys.argv, env=env, capture_output=True,
             text=True, timeout=7200)
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("{")][-1]
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(f"--- child {child} rc={out.returncode} "
+                             f"stderr ---\n{out.stderr[-4000:]}\n")
+            raise RuntimeError(f"child {child} produced no result")
+        line = lines[-1]
         rec = json.loads(line)
         results[rec.pop("label")] = rec
         print(child, "->", rec, flush=True)
