@@ -12,10 +12,14 @@ window-internal relative poses distributes residual drift.
 
 from __future__ import annotations
 
+import logging
+import os
 from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..api import LocalFeatures
 from . import geometry as geo
@@ -272,11 +276,32 @@ def reconstruct_long_sequence(
             if meas:
                 g = sim3.chain_graph(R_glob, t_glob, loop_edges=meas,
                                      loop_weight=3.0)
+                if os.environ.get("LF_SIM3_DUMP"):
+                    np.savez(os.environ["LF_SIM3_DUMP"],
+                             R=np.asarray(g.R), t=np.asarray(g.t),
+                             s=np.asarray(g.s),
+                             edges=np.asarray(g.edges),
+                             R_rel=np.asarray(g.R_rel),
+                             t_rel=np.asarray(g.t_rel),
+                             s_rel=np.asarray(g.s_rel),
+                             weight=np.asarray(g.weight))
                 g = sim3.optimize_robust(g, n_consecutive=F - 1,
                                          n_iters=15, lam=1e-5)
                 R_c, t_c = sim3.corrected_trajectory(g)
-                R_glob = np.asarray(R_c)
-                t_glob = np.asarray(t_c)
+                R_c, t_c = np.asarray(R_c), np.asarray(t_c)
+                # a loop correction must never be WORSE than no
+                # correction: a non-finite corrected chain (observed
+                # once on a 120-frame circuit; the graph inputs can be
+                # captured via LF_SIM3_DUMP) falls back to the
+                # uncorrected poses instead of poisoning the global BA
+                if np.isfinite(R_c).all() and np.isfinite(t_c).all():
+                    R_glob = R_c
+                    t_glob = t_c
+                else:
+                    logger.warning(
+                        "sim3 loop correction produced non-finite poses"
+                        " (%d edges); keeping uncorrected trajectory",
+                        len(meas))
         if loops:
             extra_matches = [(e.i, e.j, e.matches) for e in loops]
 

@@ -96,30 +96,54 @@ def residuals(graph: Sim3Graph, xi: jnp.ndarray) -> jnp.ndarray:
 
 
 def optimize(graph: Sim3Graph, n_iters: int = 15, lam: float = 1e-6,
-             fix_first: bool = True) -> Sim3Graph:
-    """Damped Gauss-Newton.  Fixing node 0 pins the full 7-dof gauge
-    freedom of a monocular reconstruction (global rotation, translation,
-    scale).
+             fix_first: bool = True, huber: float = 1.5) -> Sim3Graph:
+    """Robust damped Gauss-Newton.  Fixing node 0 pins the full 7-dof
+    gauge freedom of a monocular reconstruction (global rotation,
+    translation, scale).
 
-    Per-iteration tangent steps are trust-region clamped: a loop edge
-    measuring an EXTREME relative scale (observed: s_rel ~ 0.02 after a
-    windowed estimate's scale collapsed ~40x over a circuit) yields
-    first-iteration log-scale steps large enough that exp(sigma)
-    overflows and every pose goes NaN.  Clamping |sigma| <= 0.7 and
-    |omega| <= 1 per iteration (the two components whose retraction
-    explodes/wraps) keeps each step sane while still covering e.g. a
-    e^10 total scale correction over 15 iterations; translation steps
-    are clamped to 20x the median edge baseline (scale-free)."""
+    Three layers of robustness, each pinned by an observed failure:
+    - Huber IRLS per edge (delta = `huber` x median residual norm,
+      re-estimated every iteration): real loop-edge scale measurements
+      can be junk — one 120-frame circuit produced 33 loop edges with
+      s_rel spanning 0.0003..11 (30,000x mutually inconsistent), and a
+      plain least-squares GN NaN'd by iteration 2 trying to satisfy
+      them.  Down-weighting by residual lets the consistent majority
+      win (the same lesson as the BA Huber fix, sfm/pipeline.py).
+    - Accept/reject damping: a step is kept only if it reduces the
+      robust cost AND stays finite; rejection raises lam 10x (recovers
+      from an ill-conditioned solve), acceptance halves it.
+    - Per-iteration tangent clamps: |sigma| <= 0.7 and |omega| <= 1
+      (the components whose retraction explodes/wraps), translation
+      <= 20x the median edge baseline — a single extreme-but-genuine
+      scale edge (s_rel ~ 0.02) otherwise overflows exp(sigma) on the
+      first step while still allowing e^10 total correction over 15
+      iterations."""
     N = graph.R.shape[0]
+    E = graph.edges.shape[0]
     v_max = 20.0 * jnp.median(jnp.linalg.norm(graph.t_rel, axis=-1)) + 1e-6
 
-    def gn_step(g: Sim3Graph, _):
+    def robust_cost(r, delta):
+        rn = jnp.linalg.norm(r, axis=-1)
+        quad = rn * rn
+        lin = 2.0 * delta * rn - delta * delta
+        return jnp.sum(jnp.where(rn <= delta, quad, lin))
+
+    def gn_step(carry, _):
+        g, lam_c = carry
         zero = jnp.zeros((N, 7))
         J = jax.jacfwd(lambda xi: residuals(g, xi).reshape(-1))(zero)
-        J = J.reshape(-1, N * 7)                       # [E*7, N*7]
-        r = residuals(g, zero).reshape(-1)
-        H = J.T @ J + lam * jnp.eye(N * 7)
-        b = -J.T @ r
+        J = J.reshape(E, 7, N * 7)
+        r = residuals(g, zero)                         # [E, 7]
+        rn = jnp.linalg.norm(r, axis=-1)
+        active = graph.weight > 0
+        med = jnp.nanmedian(jnp.where(active, rn, jnp.nan))
+        delta = jnp.maximum(huber * jnp.where(jnp.isfinite(med), med, 1.0),
+                            1e-9)
+        w_irls = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12)))
+        rw = (r * w_irls[:, None]).reshape(-1)
+        Jw = (J * w_irls[:, None, None]).reshape(-1, N * 7)
+        H = Jw.T @ Jw + lam_c * jnp.eye(N * 7)
+        b = -Jw.T @ rw
         if fix_first:
             m = jnp.ones(N * 7).at[:7].set(0.0)
             H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
@@ -130,10 +154,21 @@ def optimize(graph: Sim3Graph, n_iters: int = 15, lam: float = 1e-6,
         sig = jnp.clip(dxi[:, 6:7], -0.7, 0.7)
         dxi = jnp.concatenate([w, v, sig], axis=-1)
         s, R, t = sim3_retract(g.s, g.R, g.t, dxi)
-        g = g._replace(s=s, R=R, t=t)
-        return g, jnp.sum(r * r)
+        g_new = g._replace(s=s, R=R, t=t)
 
-    graph, _ = jax.lax.scan(gn_step, graph, None, length=n_iters)
+        c_old = robust_cost(r, delta)
+        r_new = residuals(g_new, jnp.zeros((N, 7)))
+        c_new = robust_cost(r_new, delta)
+        finite = (jnp.isfinite(s).all() & jnp.isfinite(t).all()
+                  & jnp.isfinite(c_new))
+        accept = finite & (c_new < c_old)
+        g = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), g_new, g)
+        lam_c = jnp.where(accept, jnp.maximum(lam_c * 0.5, 1e-9),
+                          jnp.minimum(lam_c * 10.0, 1e8))
+        return (g, lam_c), jnp.where(accept, c_new, c_old)
+
+    (graph, _), _ = jax.lax.scan(gn_step, (graph, jnp.float32(lam)),
+                                 None, length=n_iters)
     return graph
 
 

@@ -183,9 +183,10 @@ def run_child(H: int, W: int, B: int, stage: str) -> dict:
     return rec
 
 
-def parent(configs: list[tuple[int, int, int, str]], timeout_s: int) -> int:
+def parent(configs: list[tuple[int, int, int, str]], timeout_s: int,
+           fresh: bool = False) -> int:
     results = []
-    if OUT_PATH.exists():
+    if OUT_PATH.exists() and not fresh:
         try:
             results = json.loads(OUT_PATH.read_text())["configs"]
         except Exception:
@@ -250,6 +251,9 @@ def main() -> int:
                     help="comma list HxW:B:stage (default: full sweep)")
     ap.add_argument("--timeout", type=int,
                     default=int(os.environ.get("LF_VERIFY_TIMEOUT", 2700)))
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore prior ok results (re-verify after any "
+                         "kernel change)")
     args = ap.parse_args()
 
     if args.child:
@@ -265,7 +269,7 @@ def main() -> int:
             hw, b, stage = spec.split(":")
             h, w = hw.split("x")
             configs.append((int(h), int(w), int(b), stage))
-    return parent(configs, args.timeout)
+    return parent(configs, args.timeout, fresh=args.fresh)
 
 
 if __name__ == "__main__":
