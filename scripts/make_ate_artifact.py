@@ -75,6 +75,7 @@ def main():
     if os.environ.get("LF_ATE_CHILD"):
         label, lc, graph = {
             "odometry": ("odometry", False, "tracks"),
+            "tracks": ("odometry+loop_tracks", True, "tracks"),
             "sim3": ("odometry+sim3_loops", True, "sim3"),
         }[os.environ["LF_ATE_CHILD"]]
         t0 = time.time()
@@ -96,7 +97,7 @@ def main():
     import subprocess
 
     results = {}
-    for child in ("odometry", "sim3"):
+    for child in ("odometry", "tracks", "sim3"):
         env = dict(os.environ, LF_ATE_CHILD=child)
         out = subprocess.run(
             [sys.executable] + sys.argv, env=env, capture_output=True,
