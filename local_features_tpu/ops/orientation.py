@@ -39,8 +39,11 @@ if _OWIN_KB < 1:
 # baseline).  Read once at import (baked into cached traces).
 _ORI_FUSED = os.environ.get("LF_ORI_FUSED", "1") == "1"
 # Lane-packed fused kernel (pallas/orihist.py:_kernel_packed): 8 items
-# share every VPU instruction.  Read once at import.
-_ORI_PACKED = os.environ.get("LF_ORI_PACKED", "0") == "1"
+# share every VPU instruction.  Default ON (best measured end-to-end:
+# 196.8 fps vs 192.7 per-item fused vs 189.9 unfused, v5e 640x480 B=8);
+# LF_ORI_PACKED=0 restores the per-item fused kernel.  Read once at
+# import (baked into cached traces).
+_ORI_PACKED = os.environ.get("LF_ORI_PACKED", "1") == "1"
 
 
 class KeypointArrays(NamedTuple):
