@@ -225,29 +225,33 @@ def optimize_robust(graph: Sim3Graph, n_consecutive: int,
                 keep = keep.at[n_consecutive + k].set(0.0)
         graph = graph._replace(weight=keep)
     if n_loops >= 3:
-        def edge_sq_residual(g, k):
-            e = graph.edges[n_consecutive + k]
-            r = _edge_residual(g.s[e[0]], g.R[e[0]], g.t[e[0]],
-                               g.s[e[1]], g.R[e[1]], g.t[e[1]],
-                               graph.s_rel[n_consecutive + k],
-                               graph.R_rel[n_consecutive + k],
-                               graph.t_rel[n_consecutive + k])
-            return float(jnp.sum(r * r))
+        # single-edge solutions: chain + loop edge k alone — BATCHED as
+        # one vmapped device program over the k weight masks (the
+        # previous per-edge Python loop paid k sequential optimize()
+        # dispatches: 33 loop edges cost ~14 min on a 120-frame CPU
+        # run; the vmapped form is one compile + one execution)
+        base = graph.weight.at[n_consecutive:].set(0.0)
+        ks = jnp.arange(n_loops)
+        Ws = jax.vmap(lambda k: base.at[n_consecutive + k].set(
+            graph.weight[n_consecutive + k]))(ks)
+        sols = jax.vmap(
+            lambda w: optimize(graph._replace(weight=w), n_iters, lam))(Ws)
+        # per-solution squared residual of EVERY loop edge at once
+        ei = graph.edges[n_consecutive:, 0]
+        ej = graph.edges[n_consecutive:, 1]
 
-        # single-edge solutions: chain + loop edge k alone
-        sols = []
-        for k in range(n_loops):
-            w = graph.weight.at[n_consecutive:].set(0.0) \
-                .at[n_consecutive + k].set(graph.weight[n_consecutive + k])
-            sols.append(optimize(graph._replace(weight=w), n_iters, lam))
+        def all_loop_sq(s, R, t):
+            r = _edge_residual(s[ei], R[ei], t[ei], s[ej], R[ej], t[ej],
+                               graph.s_rel[n_consecutive:],
+                               graph.R_rel[n_consecutive:],
+                               graph.t_rel[n_consecutive:])
+            return jnp.sum(r * r, axis=-1)          # [n_loops]
+
+        Rsq = jax.vmap(all_loop_sq)(sols.s, sols.R, sols.t)  # [k, l]
         # symmetric pairwise disagreement: how badly edge l fits edge
         # k's solution and vice versa (measured: consistent pairs score
         # ~1e-3 while a garbage edge scores 30-47 on the same graph)
-        D = jnp.zeros((n_loops, n_loops))
-        for k in range(n_loops):
-            for l in range(k + 1, n_loops):
-                d = edge_sq_residual(sols[k], l) + edge_sq_residual(sols[l], k)
-                D = D.at[k, l].set(d).at[l, k].set(d)
+        D = Rsq + Rsq.T
         off = D + jnp.diag(jnp.full(n_loops, jnp.inf))
         best = jnp.min(off)                  # tightest consistent pair
         # an edge with NO partner near the consensus tightness is pruned
