@@ -257,7 +257,12 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
                        precision=jax.lax.Precision.HIGHEST)  # [F, 15, 15]
 
     # big-blob fallback (level >= _DECIM_LEVELS): exact gather on a
-    # compacted subset
+    # compacted subset.  Statically dead when the scale space has no
+    # level >= _DECIM_LEVELS (level is clipped to nC-1): the whole
+    # gather + scatter-einsum subgraph would otherwise run every frame
+    # for nothing (~64 x 225 scalar gathers — measurable at batch 8).
+    if nC <= _DECIM_LEVELS:
+        return patch
     big = level >= _DECIM_LEVELS
     cap = min(_BIG_CAP, F)
     score = jnp.where(big, F - jnp.arange(F, dtype=jnp.int32), 0)
@@ -416,24 +421,30 @@ def orientation_histograms(
         raw_hist = _fused_hist(coarse, xi, yi, level, bvalid, radius,
                                sigma, h_act, w_act, interpret)
         # big-blob fallback (level >= _DECIM_LEVELS): gather + XLA math
-        # on a compacted subset, merged by slot
-        big = level >= _DECIM_LEVELS
-        cap = min(_BIG_CAP, F)
-        score = jnp.where(big & bvalid, F - jnp.arange(F, dtype=jnp.int32),
-                          0)
-        top_s, bidx = jax.lax.top_k(score, cap)
-        slot_valid = top_s > 0
-        patch_c = _gather_patches(coarse, xi[bidx], yi[bidx], level[bidx])
-        vp_c = jax.tree.map(lambda a: a[bidx], valid_px)
-        patch_c = jnp.where(vp_c & slot_valid[:, None, None], patch_c, 0.0)
-        hist_c = _raw_hist_from_patches(
-            patch_c, vp_c, step[bidx], radius[bidx], sigma[bidx],
-            slot_valid)                                     # [cap, 36]
-        scatter = ((bidx[None, :] == jnp.arange(F)[:, None])
-                   & slot_valid[None, :]).astype(jnp.float32)
-        raw_big = jnp.einsum("fs,sb->fb", scatter, hist_c,
-                             precision=jax.lax.Precision.HIGHEST)
-        raw_hist = jnp.where(big[:, None], raw_big, raw_hist)
+        # on a compacted subset, merged by slot.  Statically dead when
+        # nC <= _DECIM_LEVELS (level is clipped to nC-1) — skip the
+        # gather/contract/scatter subgraph entirely in that case (it
+        # would otherwise run every frame: ~64 x 225 scalar gathers +
+        # two HIGHEST einsums of dead work at the default n_scales=4).
+        if nC > _DECIM_LEVELS:
+            big = level >= _DECIM_LEVELS
+            cap = min(_BIG_CAP, F)
+            score = jnp.where(big & bvalid,
+                              F - jnp.arange(F, dtype=jnp.int32), 0)
+            top_s, bidx = jax.lax.top_k(score, cap)
+            slot_valid = top_s > 0
+            patch_c = _gather_patches(coarse, xi[bidx], yi[bidx], level[bidx])
+            vp_c = jax.tree.map(lambda a: a[bidx], valid_px)
+            patch_c = jnp.where(vp_c & slot_valid[:, None, None],
+                                patch_c, 0.0)
+            hist_c = _raw_hist_from_patches(
+                patch_c, vp_c, step[bidx], radius[bidx], sigma[bidx],
+                slot_valid)                                 # [cap, 36]
+            scatter = ((bidx[None, :] == jnp.arange(F)[:, None])
+                       & slot_valid[None, :]).astype(jnp.float32)
+            raw_big = jnp.einsum("fs,sb->fb", scatter, hist_c,
+                                 precision=jax.lax.Precision.HIGHEST)
+            raw_hist = jnp.where(big[:, None], raw_big, raw_hist)
         raw_hist = jnp.where(bvalid[:, None], raw_hist, 0.0)
     else:
         if use_pallas:
