@@ -39,11 +39,12 @@ if _OWIN_KB < 1:
 # baseline).  Read once at import (baked into cached traces).
 _ORI_FUSED = os.environ.get("LF_ORI_FUSED", "1") == "1"
 # Lane-packed fused kernel (pallas/orihist.py:_kernel_packed): 8 items
-# share every VPU instruction.  Default ON (best measured end-to-end:
-# 196.8 fps vs 192.7 per-item fused vs 189.9 unfused, v5e 640x480 B=8);
-# LF_ORI_PACKED=0 restores the per-item fused kernel.  Read once at
-# import (baked into cached traces).
-_ORI_PACKED = os.environ.get("LF_ORI_PACKED", "1") == "1"
+# share every VPU instruction.  Values: 0 = per-item fused kernel,
+# 1 = lane-packed v1 (196.8 fps vs 192.7 per-item vs 189.9 unfused,
+# v5e 640x480 B=8), 2 = packed v2 (hoisted lane params + bins-major
+# one-hot accumulation, pallas/orihist.py:_kernel_packed2).  Read once
+# at import (baked into cached traces).
+_ORI_PACKED = int(os.environ.get("LF_ORI_PACKED", "1"))
 
 
 class KeypointArrays(NamedTuple):
@@ -165,9 +166,15 @@ def _arena_canvas(coarse):
         nrow = -(-P // ncol)
         pad_p = nrow * ncol - P
         grid = jnp.pad(c, ((0, pad_p), (0, 0), (0, 0)))
-        # [nrow, ncol, Hc, Wc] -> [nrow*Hc, ncol*Wc]
-        grid = grid.reshape(nrow, ncol, Hc, Wc).transpose(0, 2, 1, 3)
-        grid = grid.reshape(nrow * Hc, ncol * Wc)
+        # [nrow, ncol, Hc, Wc] -> [nrow*Hc, ncol*Wc]: column j gets
+        # planes p with p % ncol == j, stacked vertically.  Built from
+        # static per-column slices + an axis-1 concat — identical
+        # layout to reshape(nrow, ncol, Hc, Wc).transpose(0, 2, 1, 3)
+        # but with no 4-D relayout (the transpose materialized the
+        # full ~50 MB/frame arena through a slow interleave pass).
+        grid = grid.reshape(nrow, ncol, Hc, Wc)
+        cols = [grid[:, j].reshape(nrow * Hc, Wc) for j in range(ncol)]
+        grid = cols[0] if ncol == 1 else jnp.concatenate(cols, axis=1)
         strips.append(jnp.pad(grid, ((0, 0), (0, Wa - ncol * Wc))))
         layout.append((acc, Hc, ncol, Wc))
         acc += nrow * Hc
@@ -353,8 +360,11 @@ def _fused_hist(coarse, xi, yi, level, bvalid, radius, sigma, h_act, w_act,
                 interpret):
     """[F, 36] raw histograms via the fused Pallas kernel (decimated
     levels only — big blobs handled by the caller's fallback merge)."""
-    from ..pallas.orihist import fetch_histograms, fetch_histograms_packed
-    if _ORI_PACKED:
+    from ..pallas.orihist import (fetch_histograms, fetch_histograms_packed,
+                                  fetch_histograms_packed2)
+    if _ORI_PACKED == 2:
+        fetch_histograms = fetch_histograms_packed2
+    elif _ORI_PACKED:
         fetch_histograms = fetch_histograms_packed
 
     (arena, sel, plane0, oy_glob, ox,

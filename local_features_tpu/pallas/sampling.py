@@ -96,7 +96,17 @@ def build_canvas(mips: list[jnp.ndarray]) -> jnp.ndarray:
     out = []
     for m in mips:
         mh, mw = m.shape
-        mt = m.T.astype(jnp.bfloat16)
+        # transpose on the MXU: mt[w, y] = sum_h m[h, w] I[h, y] — a
+        # bf16 identity matmul (exact: one 1.0 x value product per
+        # output) instead of an XLA relayout transpose, which ran as a
+        # slow interleave pass on the [H, W] f32 mips (same trick as
+        # ops/orientation.py:_decimated_canvases).  bf16-converting
+        # before the transpose == after (elementwise cast commutes).
+        eye = jnp.eye(mh, dtype=jnp.bfloat16)
+        mt = jax.lax.dot_general(
+            m.astype(jnp.bfloat16), eye,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)
         for k in range(N_PHASE):
             top = PADT + k * PHASE_STEP
             out.append(jnp.pad(mt, ((0, Wc - mw), (top, Hc - mh - top))))

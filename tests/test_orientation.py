@@ -191,3 +191,27 @@ def test_packed_orientation_kernel_matches_gather(test_image, monkeypatch):
     pk = np.asarray(p1)[v]
     d = np.abs(np.asarray(a1)[v] - np.asarray(a2)[v])[pk]
     assert d.size == 0 or d.max() < 1e-4
+
+
+def test_packed2_orientation_kernel_matches_gather(test_image, monkeypatch):
+    """Packed-v2 fused kernel (hoisted lane params + bins-major one-hot
+    accumulation, interpret) == gather path."""
+    import numpy as np
+    import jax.numpy as jnp
+    import local_features_tpu.ops.orientation as ori
+
+    monkeypatch.setattr(ori, "_ORI_FUSED", True)
+    monkeypatch.setattr(ori, "_ORI_PACKED", 2)
+    coarse = jss.scale_space(jnp.asarray(test_image), 4)
+    blobs = detect_blobs(jss.fine_volume(coarse), max_blobs=256)
+    a1, p1 = ori.orientation_histograms(coarse, blobs.x, blobs.y,
+                                        blobs.size, blobs.valid,
+                                        use_pallas=False)
+    a2, p2 = ori.orientation_histograms(coarse, blobs.x, blobs.y,
+                                        blobs.size, blobs.valid,
+                                        use_pallas=True, interpret=True)
+    v = np.asarray(blobs.valid)
+    assert np.array_equal(np.asarray(p1)[v], np.asarray(p2)[v])
+    pk = np.asarray(p1)[v]
+    d = np.abs(np.asarray(a1)[v] - np.asarray(a2)[v])[pk]
+    assert d.size == 0 or d.max() < 1e-4
