@@ -44,7 +44,10 @@ _ORI_FUSED = os.environ.get("LF_ORI_FUSED", "1") == "1"
 # v5e 640x480 B=8), 2 = packed v2 (hoisted lane params + bins-major
 # one-hot accumulation, pallas/orihist.py:_kernel_packed2).  Read once
 # at import (baked into cached traces).
-_ORI_PACKED = int(os.environ.get("LF_ORI_PACKED", "1"))
+try:
+    _ORI_PACKED = int(os.environ.get("LF_ORI_PACKED", "1"))
+except ValueError:
+    _ORI_PACKED = 1
 
 
 class KeypointArrays(NamedTuple):
@@ -264,10 +267,11 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
                        precision=jax.lax.Precision.HIGHEST)  # [F, 15, 15]
 
     # big-blob fallback (level >= _DECIM_LEVELS): exact gather on a
-    # compacted subset.  Statically dead when the scale space has no
-    # level >= _DECIM_LEVELS (level is clipped to nC-1): the whole
-    # gather + scatter-einsum subgraph would otherwise run every frame
-    # for nothing (~64 x 225 scalar gathers — measurable at batch 8).
+    # compacted subset.  Statically dead only when the scale space is
+    # so shallow (nC <= _DECIM_LEVELS, i.e. n_scales <= 1) that the
+    # nC-1 level clip makes levels >= _DECIM_LEVELS unreachable.  At
+    # the default n_scales=4 (nC=7) the fallback IS live and runs every
+    # frame; its cost is bounded by the _BIG_CAP compaction.
     if nC <= _DECIM_LEVELS:
         return patch
     big = level >= _DECIM_LEVELS
@@ -431,11 +435,11 @@ def orientation_histograms(
         raw_hist = _fused_hist(coarse, xi, yi, level, bvalid, radius,
                                sigma, h_act, w_act, interpret)
         # big-blob fallback (level >= _DECIM_LEVELS): gather + XLA math
-        # on a compacted subset, merged by slot.  Statically dead when
-        # nC <= _DECIM_LEVELS (level is clipped to nC-1) — skip the
-        # gather/contract/scatter subgraph entirely in that case (it
-        # would otherwise run every frame: ~64 x 225 scalar gathers +
-        # two HIGHEST einsums of dead work at the default n_scales=4).
+        # on a compacted subset, merged by slot.  Statically dead only
+        # when nC <= _DECIM_LEVELS (n_scales <= 1, level clipped to
+        # nC-1 < _DECIM_LEVELS); at the default n_scales=4 (nC=7) big
+        # blobs ARE reachable and this subgraph runs every frame,
+        # bounded by the _BIG_CAP compaction.
         if nC > _DECIM_LEVELS:
             big = level >= _DECIM_LEVELS
             cap = min(_BIG_CAP, F)

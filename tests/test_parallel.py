@@ -1,5 +1,7 @@
 """Sharded/batched front-end tests on the virtual 8-device CPU mesh."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,3 +65,38 @@ def test_sharded_matches_batched(test_image):
                                np.asarray(r_ref.descriptors), atol=1e-5)
     # outputs keep the batch sharding
     assert len(r_sh.descriptors.sharding.device_set) == 8
+
+
+def test_sharded_pallas_interpret_smoke(test_image):
+    """Flagship Pallas kernels (patch sampler + fused orientation
+    histograms) composed under shard_map on a 2-device mesh shard,
+    interpret mode.  Real Mosaic compilation is impossible on the CPU
+    mesh, but this at least trace-checks the kernels' sharding
+    composition (custom_vmap rules, scalar-prefetch operands, canvas
+    layouts) before real hardware ever sees them under a mesh."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    cfg = FrontendConfig(n_scales=3, max_blobs=256, max_keypoints=128,
+                         max_filtered=128, sampler="pallas", interpret=True)
+    mean, proj = load_pca().attenuated
+    mean, proj = jnp.asarray(mean), jnp.asarray(proj)
+    imgs = _batch(test_image, b=2)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("batch",))
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("batch"), P(), P()),
+        out_specs=P("batch"),
+        # pallas_call out_shapes carry no vma annotation; skip the check
+        check_vma=False)
+    def run(imgs, mean, proj):
+        return batched_detect_extract(imgs, cfg, mean, proj, 128, 0.0, 24.0)
+
+    r_sh = run(imgs, mean, proj)
+    r_ref = batched_detect_extract(imgs, cfg, mean, proj, 128, 0.0, 24.0)
+    np.testing.assert_array_equal(np.asarray(r_sh.n_keypoints),
+                                  np.asarray(r_ref.n_keypoints))
+    np.testing.assert_allclose(np.asarray(r_sh.descriptors),
+                               np.asarray(r_ref.descriptors), atol=1e-5)
+    assert len(r_sh.descriptors.sharding.device_set) == 2
