@@ -48,6 +48,13 @@ try:
     _ORI_PACKED = int(os.environ.get("LF_ORI_PACKED", "1"))
 except ValueError:
     _ORI_PACKED = 1
+# Static kill-switch for the big-blob (level >= _DECIM_LEVELS) gather
+# fallback in the Pallas path: LF_ORI_BIGBLOB=0 makes big blobs yield
+# empty histograms (no keypoints) instead of exact ones.  Measurement
+# gate only — the fallback subgraph (~_BIG_CAP x 225 scalar gathers +
+# two HIGHEST einsums) runs every frame whether or not big blobs
+# exist, and this isolates its end-to-end cost.  Read once at import.
+_ORI_BIGBLOB = os.environ.get("LF_ORI_BIGBLOB", "1") == "1"
 
 
 class KeypointArrays(NamedTuple):
@@ -272,7 +279,7 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
     # nC-1 level clip makes levels >= _DECIM_LEVELS unreachable.  At
     # the default n_scales=4 (nC=7) the fallback IS live and runs every
     # frame; its cost is bounded by the _BIG_CAP compaction.
-    if nC <= _DECIM_LEVELS:
+    if nC <= _DECIM_LEVELS or not _ORI_BIGBLOB:
         return patch
     big = level >= _DECIM_LEVELS
     cap = min(_BIG_CAP, F)
@@ -440,7 +447,7 @@ def orientation_histograms(
         # nC-1 < _DECIM_LEVELS); at the default n_scales=4 (nC=7) big
         # blobs ARE reachable and this subgraph runs every frame,
         # bounded by the _BIG_CAP compaction.
-        if nC > _DECIM_LEVELS:
+        if nC > _DECIM_LEVELS and _ORI_BIGBLOB:
             big = level >= _DECIM_LEVELS
             cap = min(_BIG_CAP, F)
             score = jnp.where(big & bvalid,
