@@ -1,0 +1,216 @@
+"""Vectorized track building + flat->TrackBlocks conversion (config 5).
+
+`pipeline.py:_build_tracks` is a per-match Python union-find and
+`sparse_ba.py:build_track_blocks` a per-track Python packer — fine at
+config-3/4 scale (hundreds of frames), prohibitive at config 5's 10k
+images (the 120-frame ATE artifact already spent most of its wall time
+in host glue).  This module re-expresses both as flat NumPy array
+programs:
+
+- consecutive mutual matches are one-to-one per pair, so tracks are
+  simple chains; chain labels propagate frame-to-frame with pure
+  fancy-indexing (one O(n_kps) step per frame, no per-match work);
+- block packing becomes a lexsort + segmented-cumsum rank computation
+  + one fancy-indexed scatter per output array.
+
+Semantics match the loop implementations exactly (tested against them
+in tests/test_tracks.py); loop-closure track fusion stays in
+pipeline.py — at config-5 scale loop constraints are handled at the
+Sim(3) pose-graph level (sfm/loops.py), not by track merging.
+
+Reference counterpart: none (north-star scope, BASELINE.md config 5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class FlatTracks(NamedTuple):
+    """Track observations as flat arrays, sorted by (track, frame).
+
+    O = total observations, N = number of tracks.  Track ids are dense
+    [0, N) in order of first appearance (frame-major).
+    """
+
+    tid: np.ndarray     # [O] i64 track id
+    frame: np.ndarray   # [O] i32 frame index
+    kp: np.ndarray      # [O] i32 keypoint index within the frame
+    n_tracks: int
+
+
+def build_tracks_flat(pair_matches: list[np.ndarray],
+                      n_kps: list[int]) -> FlatTracks:
+    """Chain consecutive mutual matches into tracks, vectorized.
+
+    pair_matches[f]: [M_f, 2] (i, j) matching kp i of frame f to kp j
+    of frame f+1.  Mutual matching is one-to-one per pair, so the
+    chains are conflict-free by construction — the same invariant
+    pipeline.py:_build_tracks pass 1 relies on.  Every track has >= 2
+    observations (an id is only born at a match source, and the match
+    guarantees the next-frame observation).
+    """
+    F = len(n_kps)
+    obs_t: list[np.ndarray] = []
+    obs_f: list[np.ndarray] = []
+    obs_k: list[np.ndarray] = []
+    next_id = 0
+    tid = np.full(n_kps[0] if F else 0, -1, np.int64)
+    for f in range(F):
+        if f < F - 1 and len(pair_matches) > f and len(pair_matches[f]):
+            m = np.asarray(pair_matches[f], np.int64)
+            src, dst = m[:, 0], m[:, 1]
+            need = tid[src] < 0
+            n_new = int(need.sum())
+            tid[src[need]] = next_id + np.arange(n_new)
+            next_id += n_new
+        else:
+            src = dst = np.zeros(0, np.int64)
+        has = np.flatnonzero(tid >= 0)
+        obs_t.append(tid[has])
+        obs_f.append(np.full(len(has), f, np.int32))
+        obs_k.append(has.astype(np.int32))
+        if f < F - 1:
+            tid_next = np.full(n_kps[f + 1], -1, np.int64)
+            tid_next[dst] = tid[src]
+            tid = tid_next
+    t = np.concatenate(obs_t) if obs_t else np.zeros(0, np.int64)
+    fr = np.concatenate(obs_f) if obs_f else np.zeros(0, np.int32)
+    kp = np.concatenate(obs_k) if obs_k else np.zeros(0, np.int32)
+    order = np.lexsort((fr, t))
+    return FlatTracks(tid=t[order], frame=fr[order], kp=kp[order],
+                      n_tracks=next_id)
+
+
+def flat_observation_uv(feats, flat: FlatTracks) -> np.ndarray:
+    """[O, 2] pixel coordinates for each observation, via one
+    fancy-index per frame (feats are ragged across frames)."""
+    uv = np.zeros((len(flat.tid), 2), np.float32)
+    for f in np.unique(flat.frame):
+        sel = flat.frame == f
+        k = flat.kp[sel]
+        uv[sel, 0] = np.asarray(feats[f].x)[k]
+        uv[sel, 1] = np.asarray(feats[f].y)[k]
+    return uv
+
+
+def _segment_starts(sorted_ids: np.ndarray) -> np.ndarray:
+    """Indices where a new id segment begins in a sorted id array."""
+    if len(sorted_ids) == 0:
+        return np.zeros(0, np.int64)
+    return np.flatnonzero(np.r_[True, sorted_ids[1:] != sorted_ids[:-1]])
+
+
+def build_track_blocks_flat(
+    flat: FlatTracks,
+    obs_uv: np.ndarray,
+    track_X: np.ndarray,
+    n_cameras: int,
+    c_blk: int = 32,
+    halo: int = 16,
+    max_obs: int = 8,
+    block_capacity: int | None = None,
+    n_blocks_multiple: int = 1,
+):
+    """Vectorized equivalent of sparse_ba.build_track_blocks.
+
+    Same packing semantics (block = first camera's block; observations
+    outside the window or past `max_obs` dropped; <2-obs tracks leave
+    a gap slot; block overflow drops the tail), same stats dict — but
+    expressed as lexsorts + segmented cumsums + fancy-indexed scatters,
+    no per-track Python.  Tested slot-for-slot equal against the loop
+    builder (tests/test_tracks.py).
+    """
+    import jax.numpy as jnp
+
+    from .sparse_ba import TrackBlocks
+
+    c_win = min(c_blk + 2 * halo, n_cameras)
+    n_blocks = max(1, -(-n_cameras // c_blk))
+    n_blocks = -(-n_blocks // n_blocks_multiple) * n_blocks_multiple
+
+    tid = flat.tid
+    cam = flat.frame.astype(np.int64)
+    N = flat.n_tracks
+    O = len(tid)
+
+    # per-track segment starts (flat is sorted by (tid, frame))
+    seg = _segment_starts(tid)                       # [Nseen]
+    seen = tid[seg] if O else np.zeros(0, np.int64)
+    first_cam = np.zeros(N, np.int64)
+    first_cam[seen] = cam[seg]
+    track_len = np.zeros(N, np.int64)
+    np.add.at(track_len, tid, 1)
+
+    b_of = np.minimum(first_cam // c_blk, n_blocks - 1)          # [N]
+    ws_of = np.clip(b_of * c_blk - halo, 0, n_cameras - c_win)   # [N]
+
+    # keep mask: obs inside its track's camera window
+    keep = (cam >= ws_of[tid]) & (cam < ws_of[tid] + c_win)      # [O]
+    # rank of each KEPT obs within its track (0-based), via segmented
+    # cumsum: global cumsum minus the cumsum at the segment start
+    csum = np.cumsum(keep) - keep                                # exclusive
+    base = np.zeros(N, np.int64)
+    base[seen] = csum[seg]
+    rank = csum - base[tid]                                      # [O]
+    keep_k = keep & (rank < max_obs)
+    kept_per_track = np.zeros(N, np.int64)
+    np.add.at(kept_per_track, tid[keep_k], 1)
+    # NOTE: the loop builder counts "kept minus K" overflow from the
+    # WINDOW-kept count, and window-dropped separately
+    win_kept = np.zeros(N, np.int64)
+    np.add.at(win_kept, tid[keep], 1)
+
+    # per-block slot: rank of track within its block, in tid order
+    # (the loop builder enumerates per_block[b] in insertion = tid
+    # order, allocating a slot even for tracks it then drops)
+    order_t = np.lexsort((np.arange(N), b_of))
+    b_sorted = b_of[order_t]
+    bseg = _segment_starts(b_sorted)
+    bbase = np.zeros(n_blocks, np.int64)
+    bbase[b_sorted[bseg] if N else np.zeros(0, np.int64)] = bseg
+    slot = np.empty(N, np.int64)
+    slot[order_t] = np.arange(N) - bbase[b_sorted]
+
+    # only tracks with >= 1 observation participate (match the loop
+    # builder, which iterates actual track lists)
+    present = track_len > 0
+    n_per_block = np.zeros(n_blocks, np.int64)
+    np.add.at(n_per_block, b_of[present], 1)
+
+    T = block_capacity or max(1, int(n_per_block.max(initial=1)))
+    in_cap = slot < T
+    ok = present & in_cap & (kept_per_track >= 2)
+
+    dropped_tracks = int(np.maximum(n_per_block - T, 0).sum())
+    dropped_tracks += int((present & in_cap & (kept_per_track < 2)).sum())
+    dropped_obs = int((~keep & (present & in_cap)[tid]).sum())
+    dropped_obs += int(np.maximum(
+        win_kept[present & in_cap] - max_obs, 0).sum())
+
+    uv = np.zeros((n_blocks, T, max_obs, 2), np.float32)
+    camo = np.zeros((n_blocks, T, max_obs), np.int32)
+    valid = np.zeros((n_blocks, T, max_obs), bool)
+    X = np.zeros((n_blocks, T, 3), np.float32)
+    tvalid = np.zeros((n_blocks, T), bool)
+    win_start = np.clip(np.arange(n_blocks) * c_blk - halo, 0,
+                        n_cameras - c_win).astype(np.int32)
+
+    sc = keep_k & ok[tid]
+    bi, si, ki = b_of[tid[sc]], slot[tid[sc]], rank[sc]
+    uv[bi, si, ki] = obs_uv[sc]
+    camo[bi, si, ki] = (cam[sc] - ws_of[tid[sc]]).astype(np.int32)
+    valid[bi, si, ki] = True
+    tvalid[b_of[ok], slot[ok]] = True
+    X[b_of[ok], slot[ok]] = np.asarray(track_X, np.float32)[ok]
+
+    blocks = TrackBlocks(
+        uv=jnp.asarray(uv), cam=jnp.asarray(camo), valid=jnp.asarray(valid),
+        X=jnp.asarray(X), tvalid=jnp.asarray(tvalid),
+        win_start=jnp.asarray(win_start),
+    )
+    stats = {"n_blocks": n_blocks, "capacity": T, "c_win": c_win,
+             "dropped_obs": dropped_obs, "dropped_tracks": dropped_tracks}
+    return blocks, c_win, stats

@@ -1,0 +1,118 @@
+"""Vectorized track building / block packing == the loop implementations."""
+
+import numpy as np
+import pytest
+
+from local_features_tpu.sfm.pipeline import _build_tracks
+from local_features_tpu.sfm.sparse_ba import build_track_blocks
+from local_features_tpu.sfm.tracks import (FlatTracks, build_tracks_flat,
+                                           build_track_blocks_flat)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _random_chain_matches(rng, F=12, kmax=40):
+    """Random one-to-one consecutive matches (the mutual-match
+    invariant) over ragged per-frame keypoint counts."""
+    n_kps = [int(rng.integers(5, kmax)) for _ in range(F)]
+    pair_matches = []
+    for f in range(F - 1):
+        na, nb = n_kps[f], n_kps[f + 1]
+        m = int(rng.integers(0, min(na, nb)))
+        src = rng.choice(na, size=m, replace=False)
+        dst = rng.choice(nb, size=m, replace=False)
+        pair_matches.append(np.stack([src, dst], axis=1).astype(np.int64))
+    return pair_matches, n_kps
+
+
+def test_build_tracks_flat_matches_union_find(rng):
+    pair_matches, n_kps = _random_chain_matches(rng)
+    flat = build_tracks_flat(pair_matches, n_kps)
+
+    ref = _build_tracks(pair_matches, n_kps)
+    ref_sets = {frozenset(t.items()) for t in ref}
+
+    got_sets = set()
+    for t in np.unique(flat.tid):
+        sel = flat.tid == t
+        got_sets.add(frozenset(zip(flat.frame[sel].tolist(),
+                                   flat.kp[sel].tolist())))
+    assert got_sets == ref_sets
+    assert flat.n_tracks == len(ref)
+    # sorted by (tid, frame), every track >= 2 obs
+    assert (np.diff(flat.tid) >= 0).all()
+    counts = np.bincount(flat.tid, minlength=flat.n_tracks)
+    assert (counts >= 2).all()
+
+
+def _random_ragged_tracks(rng, n_tracks=200, n_cameras=100, kmax=12):
+    track_cams, track_uvs = [], []
+    for _ in range(n_tracks):
+        k = int(rng.integers(2, kmax))
+        start = int(rng.integers(0, n_cameras - 1))
+        cams = np.arange(start, min(start + k, n_cameras))
+        track_cams.append(cams)
+        track_uvs.append(rng.uniform(0, 640, (len(cams), 2)).astype(
+            np.float32))
+    X = rng.standard_normal((n_tracks, 3)).astype(np.float32)
+    return track_cams, track_uvs, X
+
+
+@pytest.mark.parametrize("cap,mult", [(None, 1), (16, 4)])
+def test_block_builder_flat_matches_loop(rng, cap, mult):
+    n_cameras = 100
+    track_cams, track_uvs, X = _random_ragged_tracks(rng,
+                                                     n_cameras=n_cameras)
+    ref_blocks, ref_cwin, ref_stats = build_track_blocks(
+        track_cams, track_uvs, X, n_cameras, c_blk=16, halo=8, max_obs=6,
+        block_capacity=cap, n_blocks_multiple=mult)
+
+    # flat form: tid order == input list order, obs sorted by (tid, cam)
+    tid = np.concatenate([np.full(len(c), i, np.int64)
+                          for i, c in enumerate(track_cams)])
+    cams = np.concatenate(track_cams).astype(np.int32)
+    uv = np.concatenate(track_uvs)
+    flat = FlatTracks(tid=tid, frame=cams, kp=np.zeros_like(cams),
+                      n_tracks=len(track_cams))
+    got_blocks, got_cwin, got_stats = build_track_blocks_flat(
+        flat, uv, X, n_cameras, c_blk=16, halo=8, max_obs=6,
+        block_capacity=cap, n_blocks_multiple=mult)
+
+    assert got_cwin == ref_cwin
+    assert got_stats == ref_stats
+    for name in TrackBlocksFields():
+        a, b = getattr(ref_blocks, name), getattr(got_blocks, name)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def TrackBlocksFields():
+    from local_features_tpu.sfm.sparse_ba import TrackBlocks
+    return TrackBlocks._fields
+
+
+def test_flat_blocks_feed_sparse_ba(rng):
+    """The flat builder's blocks run through sparse_bundle_adjust."""
+    import jax.numpy as jnp
+    from local_features_tpu.sfm.sparse_ba import sparse_bundle_adjust
+
+    n_cameras = 24
+    track_cams, track_uvs, X = _random_ragged_tracks(
+        rng, n_tracks=60, n_cameras=n_cameras, kmax=6)
+    tid = np.concatenate([np.full(len(c), i, np.int64)
+                          for i, c in enumerate(track_cams)])
+    cams = np.concatenate(track_cams).astype(np.int32)
+    uv = np.concatenate(track_uvs)
+    flat = FlatTracks(tid=tid, frame=cams, kp=np.zeros_like(cams),
+                      n_tracks=len(track_cams))
+    blocks, c_win, _ = build_track_blocks_flat(
+        flat, uv, X, n_cameras, c_blk=8, halo=4, max_obs=6)
+    R = jnp.broadcast_to(jnp.eye(3), (n_cameras, 3, 3))
+    t = jnp.zeros((n_cameras, 3)).at[:, 2].set(
+        jnp.arange(n_cameras, dtype=jnp.float32) * 0.1)
+    res = sparse_bundle_adjust(R, t, blocks, jnp.asarray(
+        [500.0, 500.0, 320.0, 240.0]), c_win, n_iters=2, cg_iters=5)
+    assert np.isfinite(float(res.cost))
