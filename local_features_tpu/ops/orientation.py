@@ -96,6 +96,40 @@ def _gather_patches(coarse, xi, yi, level):
     return patch.reshape(F, _PS, _PS)
 
 
+def _gather_patches_mm(coarse, xi, yi, level):
+    """[F, 15, 15] dilated neighborhoods for BIG blobs (level >=
+    _DECIM_LEVELS) via one-hot selection matmuls.
+
+    Exact same values as _gather_patches, but the ~F*225 scalar gathers
+    (~100M elem/s on TPU — the measured 1.2 ms/batch fallback cost)
+    become two MXU one-hot contractions: a [F*15, nBig*H] row pick from
+    the big-level slab of the coarse stack, then a per-slot [W -> 15]
+    column pick.  Only levels >= _DECIM_LEVELS are addressable (the
+    contraction dim stays nBig*H, not nC*H); callers guarantee live
+    slots satisfy that, and other slots' outputs are masked downstream.
+    Precision.HIGHEST keeps the 0/1 selection exact (TPU default matmul
+    precision rounds f32 operands to bf16).
+    """
+    nC, H, W = coarse.shape
+    F = xi.shape[0]
+    lv = jnp.clip(level, _DECIM_LEVELS, nC - 1)
+    step = jnp.left_shift(1, lv)
+    offs = jnp.arange(-_R, _R + 1, dtype=jnp.int32)
+    x_img = jnp.clip(xi[:, None] + offs[None, :] * step[:, None], 0, W - 1)
+    y_img = jnp.clip(yi[:, None] + offs[None, :] * step[:, None], 0, H - 1)
+    nBig = nC - _DECIM_LEVELS
+    row_idx = (lv - _DECIM_LEVELS)[:, None] * H + y_img      # [F, 15]
+    Ry = (row_idx.reshape(-1)[:, None]
+          == jnp.arange(nBig * H, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)                              # [F*15, nBig*H]
+    rows = jnp.dot(Ry, coarse[_DECIM_LEVELS:].reshape(nBig * H, W),
+                   precision=jax.lax.Precision.HIGHEST)      # [F*15, W]
+    Cx = (jnp.arange(W, dtype=jnp.int32)[None, :, None]
+          == x_img[:, None, :]).astype(jnp.float32)          # [F, W, 15]
+    return jnp.einsum("frw,fwc->frc", rows.reshape(F, _PS, W), Cx,
+                      precision=jax.lax.Precision.HIGHEST)   # [F, 15, 15]
+
+
 def _decimated_canvases(coarse):
     """Per-level stacks of phase-decimated planes for levels
     0.._DECIM_LEVELS-1, with _XPHASE x-shifted copies of each plane:
@@ -110,8 +144,17 @@ def _decimated_canvases(coarse):
     for l in range(min(_DECIM_LEVELS, nC)):
         sstep = 1 << l
         Hl, Wl = -(-H // sstep), -(-W // sstep)
-        Hc = -(-(Hl + 2 * _OWIN_H) // 8) * 8
-        Wc = -(-(Wl + (_XPHASE - 1) * _XSTEP + 2 * _OWIN_W) // 128) * 128
+        # Tight per-plane slack (the arena is HBM-traffic bound — the
+        # loose 2x margins cost ~5.7 ms/batch of the round-3 profile):
+        # rows: oy = max8(yd - _R) <= Hl - 8, window end oy + _OWIN_H
+        #   <= Hl + _OWIN_H - 8;
+        # cols: shifted = (xd - _R) + k*_XSTEP <= Wl - 8 + _XSTEP,
+        #   ox = floor128(shifted), window end ox + _OWIN_W
+        #   <= Wl + _XSTEP + _OWIN_W - 8.
+        # Both bounds are asserted pixel-exhaustively by
+        # tests/test_orientation.py::test_arena_window_containment.
+        Hc = -(-(Hl + _OWIN_H - 8) // 8) * 8
+        Wc = -(-(Wl + (_XPHASE - 1) * _XSTEP + _OWIN_W) // 128) * 128
         c = jnp.pad(coarse[l], ((0, Hl * sstep - H), (0, Wl * sstep - W)))
         if sstep == 1:
             d = c[None]
@@ -166,7 +209,24 @@ def _arena_canvas(coarse):
     cross into a neighboring plane.
     """
     canvases = _decimated_canvases(coarse)
-    Wa = max(c.shape[2] for c in canvases)
+    # Arena width: any Wa >= max plane width works; wider arenas pack
+    # more deep-level planes side by side (ncol = Wa // Wc), trading
+    # row count against lane waste.  The arena is written (and its
+    # zero fill paid) every frame, so pick the Wa minimizing total
+    # AREA by direct search over 128-lane candidates (static, trace
+    # time only).  At 640x480 this roughly halves the arena vs
+    # Wa = max(Wc).
+    Wmin = max(c.shape[2] for c in canvases)
+
+    def _area(wa):
+        rows = 0
+        for c in canvases:
+            P, Hc, Wc = c.shape
+            rows += -(-P // max(1, wa // Wc)) * Hc
+        return rows * wa
+
+    Wa = min((-(-Wmin // 128) * 128 + 128 * i for i in range(17)),
+             key=_area)
     strips = []
     layout = []
     acc = 0
@@ -286,7 +346,7 @@ def _sample_ori_patches_pallas(coarse, xi, yi, level, bvalid,
     score = jnp.where(big, F - jnp.arange(F, dtype=jnp.int32), 0)
     top_s, bidx = jax.lax.top_k(score, cap)
     slot_valid = top_s > 0
-    patch_big_c = _gather_patches(coarse, xi[bidx], yi[bidx], level[bidx])
+    patch_big_c = _gather_patches_mm(coarse, xi[bidx], yi[bidx], level[bidx])
     scatter = ((bidx[None, :] == jnp.arange(F)[:, None]) & slot_valid[None, :]
                ).astype(jnp.float32)                        # [F, cap]
     patch_big = jnp.einsum("fs,src->frc", scatter, patch_big_c,
@@ -454,7 +514,8 @@ def orientation_histograms(
                               F - jnp.arange(F, dtype=jnp.int32), 0)
             top_s, bidx = jax.lax.top_k(score, cap)
             slot_valid = top_s > 0
-            patch_c = _gather_patches(coarse, xi[bidx], yi[bidx], level[bidx])
+            patch_c = _gather_patches_mm(coarse, xi[bidx], yi[bidx],
+                                         level[bidx])
             vp_c = jax.tree.map(lambda a: a[bidx], valid_px)
             patch_c = jnp.where(vp_c & slot_valid[:, None, None],
                                 patch_c, 0.0)

@@ -215,3 +215,62 @@ def test_packed2_orientation_kernel_matches_gather(test_image, monkeypatch):
     pk = np.asarray(p1)[v]
     d = np.abs(np.asarray(a1)[v] - np.asarray(a2)[v])[pk]
     assert d.size == 0 or d.max() < 1e-4
+
+
+def test_arena_window_containment():
+    """Pixel-exhaustive proof that every 24x128 orientation window stays
+    inside its plane's cell in the packed arena — the tightened slack
+    bounds in _decimated_canvases (rows Hl+16, cols Wl+XSTEP+OWIN_W)
+    must hold for EVERY reachable (xd, yd), or a window silently reads
+    a neighboring plane's content."""
+    import local_features_tpu.ops.orientation as o
+
+    for (H, W) in [(480, 640), (192, 1024), (240, 320), (123, 137),
+                   (32, 32), (64, 4096)]:
+        for l in range(o._DECIM_LEVELS):
+            s = 1 << l
+            Hl, Wl = -(-H // s), -(-W // s)
+            Hc = -(-(Hl + o._OWIN_H - 8) // 8) * 8
+            Wc = -(-(Wl + (o._XPHASE - 1) * o._XSTEP + o._OWIN_W)
+                   // 128) * 128
+            # rows: every decimated row coordinate
+            yd = np.arange(Hl)
+            oy = np.maximum(((yd - o._R) // 8) * 8, 0)
+            assert (oy >= 0).all() and (oy + o._OWIN_H <= Hc).all(), \
+                (H, W, l, "rows")
+            # patch rows live inside the window, EXCEPT the top-edge
+            # out-of-image rows (yd < _R, oy clamped to 0): y_local
+            # goes negative there and those rows read as zero via the
+            # one-hot no-match — the reference's zero fill
+            yl = yd - o._R - oy
+            assert (yl >= -o._R).all() and (yl + 15 <= o._OWIN_H).all()
+            # cols: every decimated col coordinate, through the x-phase
+            # copy selection
+            xd = np.arange(Wl)
+            basex = xd - o._R
+            k = np.mod(-(basex // o._XSTEP), o._XPHASE)
+            shifted = basex + o._XSTEP * k
+            ox = (shifted // 128) * 128
+            assert (ox >= 0).all() and (ox + o._OWIN_W <= Wc).all(), \
+                (H, W, l, "cols")
+            xl = shifted - ox
+            assert (xl >= 0).all() and (xl + 15 <= o._OWIN_W).all()
+            # the copy content itself fits the cell
+            assert (o._XPHASE - 1) * o._XSTEP + Wl <= Wc
+
+
+def test_gather_patches_mm_matches_gather(rng):
+    """One-hot matmul big-blob patch extraction == scalar-gather
+    extraction for levels >= _DECIM_LEVELS (the only levels the matmul
+    form addresses)."""
+    import local_features_tpu.ops.orientation as o
+
+    nC, H, W = 7, 96, 128
+    coarse = jnp.asarray(rng.standard_normal((nC, H, W)).astype(np.float32))
+    F = 32
+    xi = jnp.asarray(rng.integers(0, W, F).astype(np.int32))
+    yi = jnp.asarray(rng.integers(0, H, F).astype(np.int32))
+    level = jnp.asarray(rng.integers(o._DECIM_LEVELS, nC, F).astype(np.int32))
+    ref = o._gather_patches(coarse, xi, yi, level)
+    got = o._gather_patches_mm(coarse, xi, yi, level)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
