@@ -1,0 +1,271 @@
+"""Batched sequence pose initialization (config-5 scale).
+
+`pipeline.py:reconstruct_sequence` initializes poses with a per-pair
+host loop: one RANSAC dispatch + one triangulation dispatch + several
+host fetches per frame — ~3 device round trips x F.  At config-5 scale
+(1k-10k frames) that loop IS the pipeline cost, so this module batches
+it the TPU way:
+
+1. every consecutive pair's essential-matrix RANSAC runs under ONE
+   vmapped jit (chunked to bound memory) — same estimator
+   (two_view.estimate_relative_pose), same hypothesis count, F-1 pairs
+   per dispatch instead of 1;
+2. triangulation of every pair is fused into the same program;
+3. the only remaining per-frame host work is the monocular scale chain
+   — pure O(F) NumPy arithmetic on prefetched arrays (median depth
+   ratios over keypoints shared by consecutive pairs), no device calls.
+
+The result feeds tracks.build_track_blocks_flat + sparse_bundle_adjust
+directly: (poses, per-track world points).
+
+Reference counterpart: none (north-star scope, BASELINE.md config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry as geo
+from .two_view import (estimate_relative_pose, refine_pose_sampson,
+                       triangulate)
+from .tracks import FlatTracks
+
+
+class PairArrays(NamedTuple):
+    """Fixed-capacity per-pair correspondence arrays (P = F-1 pairs)."""
+
+    x1: np.ndarray       # [P, M, 2] normalized coords in frame p
+    x2: np.ndarray       # [P, M, 2] normalized coords in frame p+1
+    mask: np.ndarray     # [P, M]
+    src_kp: np.ndarray   # [P, M] i32 kp index in frame p (dummy 0 pad)
+    dst_kp: np.ndarray   # [P, M] i32 kp index in frame p+1
+
+
+def pair_correspondence_arrays(feats, pair_matches, intr,
+                               cap: int | None = None) -> PairArrays:
+    """Pack ragged per-pair matches into fixed-capacity arrays."""
+    P = len(pair_matches)
+    M = cap or max(64, 1 << max(
+        (len(m) for m in pair_matches), default=1).bit_length())
+    x1 = np.zeros((P, M, 2), np.float32)
+    x2 = np.zeros((P, M, 2), np.float32)
+    mask = np.zeros((P, M), bool)
+    src = np.zeros((P, M), np.int32)
+    dst = np.zeros((P, M), np.int32)
+    fx, fy, cx, cy = [float(v) for v in np.asarray(intr)]
+    for p, m in enumerate(pair_matches):
+        m = np.asarray(m)[:M]
+        k = len(m)
+        if k == 0:
+            continue
+        src[p, :k] = m[:, 0]
+        dst[p, :k] = m[:, 1]
+        fa, fb = feats[p], feats[p + 1]
+        x1[p, :k, 0] = (np.asarray(fa.x)[m[:, 0]] - cx) / fx
+        x1[p, :k, 1] = (np.asarray(fa.y)[m[:, 0]] - cy) / fy
+        x2[p, :k, 0] = (np.asarray(fb.x)[m[:, 1]] - cx) / fx
+        x2[p, :k, 1] = (np.asarray(fb.y)[m[:, 1]] - cy) / fy
+        mask[p, :k] = True
+    return PairArrays(x1, x2, mask, src, dst)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def _pose_chunk(x1, x2, mask, keys, n_hypotheses):
+    def one(a, b, m, k):
+        # consecutive video frames ARE the lateral-baseline regime the
+        # rotation prior / adaptive threshold exist for (two_view.py
+        # docstring: callers opt in where the regime is known); the
+        # Sampson polish then recovers the 8-point estimate's bias —
+        # without both, per-pair t directions on rendered sequences
+        # erred up to ~60 deg with occasional sign flips (measured)
+        res = estimate_relative_pose(a, b, m, k,
+                                     n_hypotheses=n_hypotheses,
+                                     rotation_prior=0.02,
+                                     adaptive_threshold=True)
+        w = res.inliers.astype(jnp.float32)
+        R, t = refine_pose_sampson(res.R, res.t, a, b, w)
+        # keep the polished pose only if it agrees with cheirality:
+        # count front-of-both-cameras inliers before/after
+        def front(Rc, tc):
+            X = triangulate(jnp.eye(3), jnp.zeros(3), Rc, tc, a, b)
+            z2 = X @ Rc[2] + tc[2]
+            return jnp.sum((X[:, 2] > 0) & (z2 > 0) & res.inliers), X
+
+        n0, X0 = front(res.R, res.t)
+        n1, X1 = front(R, t)
+        ok = n1 >= n0
+        R = jnp.where(ok, R, res.R)
+        t = jnp.where(ok, t, res.t)
+        Xc = jnp.where(ok, X1, X0)
+        return R, t, res.inliers, res.n_inliers, Xc
+
+    return jax.vmap(one)(x1, x2, mask, keys)
+
+
+def batched_relative_poses(pairs: PairArrays, seed: int = 0,
+                           chunk: int = 64, n_hypotheses: int = 256):
+    """(R_rel [P,3,3], t_rel [P,3], inl [P,M], n_inl [P], Xc [P,M,3]):
+    every pair's RANSAC + triangulation in ceil(P/chunk) device calls."""
+    P, M = pairs.mask.shape
+    keys = jax.random.split(jax.random.PRNGKey(seed), max(P, 1))
+    outs = []
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        pad = chunk - (e - s)
+        pd = lambda a: np.concatenate(
+            [a[s:e], np.repeat(a[e - 1:e], pad, axis=0)]) if pad else a[s:e]
+        r = _pose_chunk(jnp.asarray(pd(pairs.x1)), jnp.asarray(pd(pairs.x2)),
+                        jnp.asarray(pd(pairs.mask)), pd(np.asarray(keys)),
+                        n_hypotheses)
+        outs.append(tuple(np.asarray(v)[: e - s] for v in r))
+    if not outs:
+        z = np.zeros
+        return (z((0, 3, 3), np.float32), z((0, 3), np.float32),
+                z((0, M), bool), z((0,), np.int32), z((0, M, 3), np.float32))
+    return tuple(np.concatenate([o[i] for o in outs]) for i in range(5))
+
+
+def chain_sequence_poses(pairs: PairArrays, R_rel, t_rel, inl, n_inl, Xc,
+                         n_kps: list[int], min_inliers: int = 12,
+                         step_clamp: float = 3.0):
+    """Absolute poses + per-pair global scales from relative estimates.
+
+    Pure host arithmetic (no device calls): for each pair p >= 1, the
+    global scale is chained by the median depth ratio over keypoints of
+    frame p shared between pair p-1 (as dst) and pair p (as src), both
+    triangulated at unit baseline.  Weak pairs (< min_inliers) reuse
+    the previous relative motion (constant-velocity fallback), and each
+    step length is clamped to [1/clamp, clamp] x the previous step —
+    the same guards as reconstruct_sequence's loop.
+
+    Returns (R [F,3,3], t [F,3], scale [P], t_rel, Xc) — the last two
+    with per-pair t-sign corrections applied (see below), so callers
+    must use THESE for structure initialization.
+    """
+    P = len(R_rel)
+    F = P + 1
+    Rs = np.zeros((F, 3, 3), np.float32)
+    ts = np.zeros((F, 3), np.float32)
+    Rs[0] = np.eye(3)
+    scale = np.ones(P, np.float32)
+
+    prev_R = np.eye(3, dtype=np.float32)
+    prev_dir = None
+    prev_step = None
+    Xc = np.array(Xc)            # sign corrections below mutate depths
+    t_rel = np.array(t_rel)
+    # per-pair kp->row maps for the shared-depth lookup
+    for p in range(P):
+        Rr, tr = R_rel[p], t_rel[p]
+        if int(n_inl[p]) < min_inliers and prev_dir is not None:
+            Rr, tr = prev_R, prev_dir
+        s = 1.0
+        if p > 0:
+            # depths of frame-p keypoints from BOTH pairs
+            mprev = pairs.mask[p - 1]
+            mcur = pairs.mask[p]
+            # frame-p camera coords from pair p-1: R_rel x + t_rel
+            Xp_prev = Xc[p - 1] @ R_rel[p - 1].T + t_rel[p - 1]
+            kp_prev = pairs.dst_kp[p - 1]
+            kp_cur = pairs.src_kp[p]
+            good_prev = mprev & inl[p - 1] & (Xp_prev[:, 2] > 1e-3)
+            # do NOT cheirality-gate the current pair here: a t-sign
+            # flip makes ALL its depths negative, and the gate would
+            # silently discard exactly the evidence that detects it
+            good_cur = mcur & inl[p] & (np.abs(Xc[p][:, 2]) > 1e-3)
+            zprev = np.full(n_kps[p], np.nan, np.float32)
+            zprev[kp_prev[good_prev]] = Xp_prev[good_prev, 2]
+            zc = Xc[p][good_cur, 2]
+            zp = zprev[kp_cur[good_cur]]
+            ok = np.isfinite(zp)
+            if ok.sum() >= 3:
+                med = float(np.median(zp[ok] / zc[ok]))
+                if med < 0:
+                    # structure votes the pair's t sign is FLIPPED
+                    # (front-count near-ties can pick the wrong sign
+                    # on small-baseline video): depths scale linearly
+                    # in t, so flip t and the triangulation together
+                    t_rel[p] = -t_rel[p]
+                    Xc[p] = -Xc[p]
+                    tr = t_rel[p] if int(n_inl[p]) >= min_inliers else tr
+                    med = -med
+                s = med * scale[p - 1]
+            else:
+                s = float(scale[p - 1])
+        if prev_step is not None and np.isfinite(prev_step) and prev_step > 0:
+            step_len = abs(s) * float(np.linalg.norm(tr))
+            lo, hi = prev_step / step_clamp, prev_step * step_clamp
+            if step_len < lo or step_len > hi:
+                s = float(np.clip(step_len, lo, hi)) / max(
+                    float(np.linalg.norm(tr)), 1e-9) * np.sign(s or 1.0)
+        scale[p] = s
+        t_sc = tr * s
+        Rs[p + 1] = Rr @ Rs[p]
+        ts[p + 1] = Rr @ ts[p] + t_sc
+        prev_R = Rr
+        prev_dir = t_sc / max(float(np.linalg.norm(t_sc)), 1e-9)
+        prev_step = float(np.linalg.norm(t_sc))
+    return Rs, ts, scale, t_rel, Xc
+
+
+def init_track_points(flat: FlatTracks, pairs: PairArrays, Xc, inl, scale,
+                      Rs, ts, n_kps: list[int]):
+    """[N, 3] world-point init per track from its FIRST pair's
+    triangulation (a track's first observation is a match source by
+    construction of build_tracks_flat).  Tracks whose first
+    triangulation failed cheirality/inlier gates fall back to the
+    median-depth point along the first observation ray.
+
+    Returns (X [N,3] f32, ok [N] bool)."""
+    N = flat.n_tracks
+    seg = np.flatnonzero(np.r_[True, flat.tid[1:] != flat.tid[:-1]]) \
+        if len(flat.tid) else np.zeros(0, np.int64)
+    f0 = np.zeros(N, np.int64)
+    k0 = np.zeros(N, np.int64)
+    f0[flat.tid[seg]] = flat.frame[seg]
+    k0[flat.tid[seg]] = flat.kp[seg]
+
+    P, M = pairs.mask.shape
+    # per-pair kp->match-row map
+    rowmap = np.full((P, max(n_kps)), -1, np.int64)
+    prow = np.broadcast_to(np.arange(M), (P, M))
+    pidx = np.broadcast_to(np.arange(P)[:, None], (P, M))
+    m = pairs.mask
+    rowmap[pidx[m], pairs.src_kp[m]] = prow[m]
+
+    rows = rowmap[f0, k0]                               # [N]
+    good = rows >= 0
+    r = np.where(good, rows, 0)
+    Xci = Xc[f0, r] * scale[f0][:, None]                # frame-f0 cam coords
+    ok = good & inl[f0, r] & (Xc[f0, r, 2] > 0.05)
+    med = np.median(Xci[ok, 2]) if ok.any() else 1.0
+    # fallback: median-depth point along the observation ray
+    ray = np.concatenate([pairs.x1[f0, r], np.ones((N, 1), np.float32)],
+                         axis=1)
+    Xci = np.where(ok[:, None], Xci, ray * med)
+    # world: X_w = R^T (X_c - t)
+    Xw = np.einsum("nij,nj->ni", Rs[f0].transpose(0, 2, 1), Xci - ts[f0])
+    return Xw.astype(np.float32), ok
+
+
+def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
+                        seed: int = 0, chunk: int = 64,
+                        n_hypotheses: int = 256):
+    """Full batched init: (R [F,3,3], t [F,3], track_X [N,3], stats)."""
+    n_kps = [len(np.asarray(f.x)) for f in feats]
+    pairs = pair_correspondence_arrays(feats, pair_matches, intr)
+    R_rel, t_rel, inl, n_inl, Xc = batched_relative_poses(
+        pairs, seed=seed, chunk=chunk, n_hypotheses=n_hypotheses)
+    Rs, ts, scale, t_rel, Xc = chain_sequence_poses(
+        pairs, R_rel, t_rel, inl, n_inl, Xc, n_kps)
+    X, ok = init_track_points(flat, pairs, Xc, inl, scale, Rs, ts, n_kps)
+    stats = {"n_pairs": len(pair_matches),
+             "weak_pairs": int((n_inl < 12).sum()),
+             "tracks_direct_init": int(ok.sum()),
+             "tracks_fallback_init": int((~ok).sum())}
+    return Rs, ts, X, stats
