@@ -10,11 +10,15 @@ The reference sweeps two grids over `detect_top_n` wall time:
 This harness reproduces both sweeps on TPU with the dependency-chained
 timing methodology from bench.py (feed each output back as the next
 input; one host fetch at the end) so tunnel latency and async dispatch
-cannot distort per-config numbers.  Base resolution 640x480 stands in
-for houses.jpg (sample images are not vendored); content is the same
-synthetic texture as bench.py.
+cannot distort per-config numbers.  The measured content is the SAME
+image the reference measures: `sample_data/houses.jpg` (vendored,
+byte-identical), grayscaled and Lanczos-resized per scale factor
+exactly as `open_image` does (bench.rs:9-20) — native 4096x3072, so
+scale=1.0 really is 4096x3072.  `--synthetic` switches back to the
+640x480-based sine+noise texture (the pre-round-4 behavior, kept for
+history comparability).
 
-Usage:  python scripts/bench_grid.py [--iters N] [--quick]
+Usage:  python scripts/bench_grid.py [--iters N] [--quick] [--synthetic]
 Prints one JSON line per config: {"config": ..., "ms_per_frame": ...,
 "frames_per_s": ...}.
 """
@@ -30,6 +34,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+_HOUSES = os.path.join(os.path.dirname(__file__), "..", "sample_data",
+                       "houses.jpg")
+
+
 def make_image(H, W):
     import numpy as np
     rng = np.random.default_rng(0)
@@ -40,7 +48,21 @@ def make_image(H, W):
             + 0.1 * rng.standard_normal((H, W))).astype(np.float32)
 
 
-def time_config(H, W, n_feats, n_scales, iters):
+def open_houses(scale):
+    """houses.jpg grayscaled + Lanczos-resized by `scale`, f32 in [0,1]
+    — the same preparation as the reference's open_image
+    (bench.rs:9-20: image::open().grayscale() + Lanczos3 resize)."""
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(_HOUSES).convert("L")
+    w = int(round(img.width * scale))
+    h = int(round(img.height * scale))
+    img = img.resize((w, h), Image.LANCZOS)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def time_config(img, n_feats, n_scales, iters):
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +70,9 @@ def time_config(H, W, n_feats, n_scales, iters):
     from local_features_tpu.pca import load_pca
 
     sampler = "pallas" if jax.default_backend() != "cpu" else "xla"
-    cfg = FrontendConfig(n_scales=n_scales, max_blobs=8000,
+    # max_blobs = 5 * max_features mirrors the reference's bench setup
+    # (bench.rs:61: max_blobs: 5 * max_features)
+    cfg = FrontendConfig(n_scales=n_scales, max_blobs=5 * n_feats,
                          max_keypoints=n_feats, max_filtered=n_feats,
                          sampler=sampler)
     mean, proj = load_pca().attenuated
@@ -62,7 +86,7 @@ def time_config(H, W, n_feats, n_scales, iters):
         return img + feedback
 
     import numpy as np
-    img = jnp.asarray(make_image(H, W))
+    img = jnp.asarray(img)
     x = step(img)
     _ = np.asarray(jnp.sum(x))  # compile + warm
 
@@ -80,11 +104,13 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quick", action="store_true",
                     help="tiny subset / few iters (CI smoke)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="640x480-based sine+noise texture instead of "
+                         "houses.jpg (pre-round-4 behavior)")
     args = ap.parse_args()
 
-    BH, BW = 480, 640
     if args.quick:
-        scales = [0.5]
+        scales = [0.25] if not args.synthetic else [0.5]
         feats = [500]
         nscales_list = [3]
         iters = 2
@@ -94,23 +120,38 @@ def main():
         nscales_list = [3, 5]
         iters = args.iters
 
+    if args.synthetic:
+        BH, BW = 480, 640
+        load = lambda s: make_image(int(BH * s), int(BW * s))
+        src = f"synthetic{BH}x{BW}"
+    else:
+        load = open_houses
+        src = "houses.jpg"
+
     results = []
     # sweep (a): image scale at 3000 (or max) features
     top = 3000 if not args.quick else 500
     for ns in nscales_list:
         for s in scales:
-            H, W = int(BH * s), int(BW * s)
-            ms = time_config(H, W, top, ns, iters) * 1e3
-            rec = {"config": f"scale={s}x{BH}x{BW},feats={top},n_scales={ns}",
+            img = load(s)
+            H, W = img.shape
+            ms = time_config(img, top, ns, iters) * 1e3
+            rec = {"config": f"{src},scale={s}({H}x{W}),feats={top},"
+                             f"n_scales={ns}",
                    "ms_per_frame": round(ms, 3),
                    "frames_per_s": round(1e3 / ms, 2)}
             print(json.dumps(rec), flush=True)
             results.append(rec)
-    # sweep (b): full-res, feature-count sweep
+    # sweep (b): full-res, feature-count sweep (quick mode stays at the
+    # small sweep-(a) scale so the smoke run finishes in minutes)
+    bscale = scales[0] if args.quick else 1.0
+    img = load(bscale)
+    H, W = img.shape
     for ns in nscales_list:
         for nf in feats:
-            ms = time_config(BH, BW, nf, ns, iters) * 1e3
-            rec = {"config": f"fullres,feats={nf},n_scales={ns}",
+            ms = time_config(img, nf, ns, iters) * 1e3
+            rec = {"config": f"{src},fullres*{bscale}({H}x{W}),feats={nf},"
+                             f"n_scales={ns}",
                    "ms_per_frame": round(ms, 3),
                    "frames_per_s": round(1e3 / ms, 2)}
             print(json.dumps(rec), flush=True)
