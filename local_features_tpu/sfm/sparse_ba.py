@@ -202,7 +202,8 @@ def triangulate_blocks(R, t, blocks: TrackBlocks, intr, c_win):
 
 
 def filter_block_outliers(R, t, blocks: TrackBlocks, intr, c_win,
-                          max_px: float = 20.0):
+                          max_px: float = 20.0,
+                          min_depth_frac: float = 0.01):
     """Drop observations whose reprojection residual at the CURRENT
     estimate exceeds `max_px`, then drop tracks left with < 2
     observations.  Ratio-test-surviving mismatches produce residuals
@@ -211,9 +212,29 @@ def filter_block_outliers(R, t, blocks: TrackBlocks, intr, c_win,
     single 4e4-px observation still contributes ~2*delta*r to the cost
     the LM accept test uses — gate them out before adjusting, exactly
     as the dense pipeline drops never-triangulated tracks.
+
+    Observations whose depth is below `min_depth_frac` x the median
+    valid depth are dropped too: a degenerate DLT solution at a camera
+    center projects with a SMALL residual (x, y, z all ~0) but an
+    enormous Jacobian (fx/z), which destabilizes the f32 normal
+    equations even with _obs_terms' hard zero-Jacobian guard.
     """
+    w = blocks.valid & blocks.tvalid[..., None]
+    onehot = ((blocks.cam[..., None]
+               == jnp.arange(c_win, dtype=jnp.int32)).astype(jnp.float32)
+              * w[..., None].astype(jnp.float32))
+    R_win = _window_slice(R, blocks.win_start, c_win)
+    t_win = _window_slice(t, blocks.win_start, c_win)
+    R_sel = jnp.einsum("btkw,bwij->btkij", onehot, R_win, precision=_HI)
+    t_sel = jnp.einsum("btkw,bwi->btki", onehot, t_win, precision=_HI)
+    z = (jnp.einsum("btkij,btj->btki", R_sel, blocks.X, precision=_HI)
+         + t_sel)[..., 2]
+    z_med = jnp.nanmedian(jnp.where(w & (z > 0), z, jnp.nan))
+    z_min = min_depth_frac * jnp.nan_to_num(z_med, nan=1.0)
+
     _, r, *_ = _obs_terms(R, t, blocks, intr, c_win, None)
-    ok = (jnp.linalg.norm(r, axis=-1) <= max_px) & blocks.valid
+    ok = ((jnp.linalg.norm(r, axis=-1) <= max_px) & (z > z_min)
+          & blocks.valid)
     tvalid = blocks.tvalid & (jnp.sum(ok, axis=-1) >= 2)
     return blocks._replace(valid=ok, tvalid=tvalid)
 
@@ -240,6 +261,20 @@ def _scatter_windows(contrib, win_start, C):
 
     acc, _ = jax.lax.scan(body, acc, (contrib, win_start))
     return acc
+
+
+def _inv_damped_equilibrated(A, ridge):
+    """inv(A + ridge*I) for batched small symmetric PSD matrices,
+    computed as inv(A/s + (ridge/s)*I)/s with s = mean diagonal —
+    EXACTLY the same matrix, but the determinant of the scaled system
+    stays O(1): near-degenerate observations (z -> 0) push diag(A) to
+    ~1e16+, whose raw 3x3/6x6 determinant overflows f32 (~1e38) and
+    NaN-poisons the whole LM step (measured on the 1k-frame chain)."""
+    n = A.shape[-1]
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jnp.maximum(jnp.mean(diag, axis=-1), 1e-12)[..., None, None]
+    eye = jnp.eye(n, dtype=A.dtype)
+    return jnp.linalg.inv(A / s + (ridge / s) * eye) / s
 
 
 def _obs_terms(R, t, blocks: TrackBlocks, intr, c_win, huber_delta):
@@ -277,10 +312,18 @@ def _obs_terms(R, t, blocks: TrackBlocks, intr, c_win, huber_delta):
     x, y = Xc[..., 0], Xc[..., 1]
     fx, fy = intr[0], intr[1]
     zero = jnp.zeros_like(z)
+    # Near-zero / negative depths get ZERO Jacobian (their clamped
+    # residual still counts in the cost, bounded by the caller's
+    # outlier gate): a point that drifts onto a camera center has
+    # fx/z ~ 1e10+, one such observation overflows the f32 normal
+    # equations and NaN-poisons the whole LM step — measured on the
+    # 1k-frame chain, where DLT re-triangulation parks a handful of
+    # degenerate tracks at camera centers with small residuals.
+    jac_ok = (Xc[..., 2] > 1e-6).astype(jnp.float32)
     duv = jnp.stack([
         jnp.stack([fx / z, zero, -fx * x / (z * z)], axis=-1),
         jnp.stack([zero, fy / z, -fy * y / (z * z)], axis=-1),
-    ], axis=-2) * w[..., None, None]                     # [B,T,K,2,3]
+    ], axis=-2) * (w * jac_ok)[..., None, None]          # [B,T,K,2,3]
     dxc_dxi = jnp.concatenate(
         [-hat(Xc), jnp.broadcast_to(jnp.eye(3), Xc.shape[:-1] + (3, 3))],
         axis=-1)                                         # [B,T,K,3,6]
@@ -325,7 +368,7 @@ def sparse_bundle_adjust(
         # landmark blocks: pure per-track reductions (no scatter)
         V = jnp.einsum("btkri,btkrj->btij", Jp, Jp, precision=_HI)      # [B,T,3,3]
         gp = -jnp.einsum("btkri,btkr->bti", Jp, r, precision=_HI)       # [B,T,3]
-        Vinv = jnp.linalg.inv(V + (lam + 1e-9) * jnp.eye(3))
+        Vinv = _inv_damped_equilibrated(V, lam + 1e-9)
         Wm = jnp.einsum("btkri,btkrj->btkij", Jc, Jp, precision=_HI)    # [B,T,K,6,3]
 
         # camera blocks: one-hot window accumulation + psum
@@ -373,7 +416,7 @@ def sparse_bundle_adjust(
         Dq = jnp.einsum("btkij,btjl,btkml->btkim", Wm, Vinv, Wm, precision=_HI)
         D_win = jnp.einsum("btkw,btkij->bwij", onehot, Dq, precision=_HI)
         S_diag = U_d - allsum(_scatter_windows(D_win, blk.win_start, C))
-        Minv = jnp.linalg.inv(S_diag + 1e-6 * jnp.eye(6))
+        Minv = _inv_damped_equilibrated(S_diag, 1e-6)
         prec = lambda v: jnp.einsum("cij,cj->ci", Minv, v, precision=_HI) * gauge
 
         def cg_body(carry, _):
