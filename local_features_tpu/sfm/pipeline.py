@@ -9,6 +9,7 @@ the same split as the reference's host blob-filter between GPU phases.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -301,3 +302,133 @@ def reconstruct_sequence(
         cost_history=np.asarray(result.cost_history),
         track_obs=tracks,
     )
+
+
+class BatchedReconstruction(NamedTuple):
+    """Result of reconstruct_sequence_batched (config-4/5 chain)."""
+
+    R: np.ndarray            # [F, 3, 3] world->cam
+    t: np.ndarray            # [F, 3]
+    cost: float
+    cost_history: np.ndarray
+    stats: dict
+
+    @property
+    def camera_centers(self) -> np.ndarray:
+        return np.einsum("cji,cj->ci", self.R, -self.t)
+
+
+def reconstruct_sequence_batched(
+    frames: np.ndarray,
+    intr: np.ndarray,
+    max_features: int = 500,
+    engine: LocalFeatures | None = None,
+    seed: int = 0,
+    ba_iters: int = 10,
+    cg_iters: int = 12,
+    c_blk: int = 32,
+    halo: int = 16,
+    max_obs: int = 8,
+    mesh=None,
+    axis: str = "map",
+    loop_closure: bool = False,
+    loop_kwargs: dict | None = None,
+    huber_delta: float = 2.0,
+    gate_px: float = 30.0,
+    kf_stride: int | str = "auto",
+) -> BatchedReconstruction:
+    """Global batched SfM over an ordered [F, H, W] sequence — the
+    config-4/5 at-scale chain, every stage a batched device program or
+    a flat array program:
+
+      batched front-end -> batched consecutive matching -> vectorized
+      track chaining (+ optional loop-closure track fusion) -> chunked
+      vmapped pair RANSAC + monocular scale chain -> flat block packing
+      -> multiview re-triangulation -> reprojection outlier gate ->
+      map-block-partitioned sparse BA (sharded over `mesh` if given).
+
+    Unlike reconstruct_long_sequence's windowed odometry (per-window
+    host loop, stitching heuristics), this path has no per-frame host
+    round trips and one GLOBAL bundle adjustment; it is both the
+    at-scale (config-5) pipeline and, measured on the phototex
+    circuits, the more accurate config-4 default.
+
+    loop_closure fuses verified revisit matches into the track set
+    (tracks.merge_loop_tracks_flat).  A merged track spans the loop, so
+    for sequences short enough (F <= 256) the block window is widened
+    to cover the whole sequence; for longer sequences loop tracks
+    whose span exceeds c_win are window-clipped (long-range drift is
+    then sim3's job — sfm/sim3.py).
+    """
+    from ..ops.matching import match_consecutive, pad_descriptor_sequence
+    from .sequence_init import initialize_sequence
+    from .sparse_ba import (filter_block_outliers, sparse_bundle_adjust,
+                            triangulate_blocks)
+    from .tracks import (build_tracks_flat, build_track_blocks_flat,
+                         flat_observation_uv, merge_loop_tracks_flat)
+
+    frames = np.asarray(frames, np.float32)
+    F = frames.shape[0]
+    lf = engine or LocalFeatures(max_features=max_features)
+    feats = lf.detect_sequence(frames, max_features)
+    n_kp = [len(np.asarray(f.x)) for f in feats]
+
+    descs, dvalid = pad_descriptor_sequence(feats)
+    pair_matches = match_consecutive(descs, dvalid)
+
+    flat = build_tracks_flat(pair_matches, n_kp)
+    stats = {"n_tracks_chained": int(flat.n_tracks),
+             "keypoints_total": int(np.sum(n_kp))}
+
+    # pose init BEFORE loop merging: the scale chain and first-pair
+    # structure init depend on the consecutive-chain track shape
+    Rs, ts, X0, istats = initialize_sequence(feats, pair_matches, intr,
+                                             flat, seed=seed,
+                                             kf_stride=kf_stride)
+    stats.update(istats)
+
+    if loop_closure:
+        from .loops import detect_loop_closures
+        edges = detect_loop_closures(feats, intr,
+                                     **(loop_kwargs or {}))
+        stats["loop_edges"] = len(edges)
+        if edges:
+            flat2 = merge_loop_tracks_flat(flat, edges, n_kp)
+            # carry X0 to the merged ids: a merged track keeps the
+            # earliest member's first observation (merge_loop_tracks_
+            # flat relabels by first frame), so map each new track's
+            # first observation back to its old track via the shared
+            # (frame, kp) key and inherit that old track's init point
+            kmax = max(n_kp) if n_kp else 1
+            okey = flat.frame.astype(np.int64) * kmax + flat.kp
+            nkey = flat2.frame.astype(np.int64) * kmax + flat2.kp
+            o_sort = np.argsort(okey)
+            pos = np.searchsorted(okey[o_sort], nkey)
+            old_tid = flat.tid[o_sort[pos]]
+            first_seen = np.flatnonzero(
+                np.r_[True, flat2.tid[1:] != flat2.tid[:-1]])
+            X0 = X0[old_tid[first_seen]]
+            flat = flat2
+            if F <= 256:
+                halo = max(halo, -(-max(F - c_blk, 0) // 2))
+        stats["n_tracks_merged"] = int(flat.n_tracks)
+
+    uv = flat_observation_uv(feats, flat)
+    blocks, c_win, bstats = build_track_blocks_flat(
+        flat, uv, X0, F, c_blk=c_blk, halo=halo, max_obs=max_obs,
+        n_blocks_multiple=(mesh.devices.size if mesh is not None else 1))
+    stats.update(bstats)
+
+    Rj, tj = jnp.asarray(Rs), jnp.asarray(ts)
+    intr_j = jnp.asarray(intr, jnp.float32)
+    X_tri = triangulate_blocks(Rj, tj, blocks, intr_j, c_win)
+    blocks = blocks._replace(X=X_tri)
+    blocks = filter_block_outliers(Rj, tj, blocks, intr_j, c_win,
+                                   max_px=gate_px)
+    res = sparse_bundle_adjust(Rj, tj, blocks, intr_j, c_win,
+                               mesh=mesh, axis=axis, n_iters=ba_iters,
+                               cg_iters=cg_iters, huber_delta=huber_delta)
+    return BatchedReconstruction(
+        R=np.asarray(res.R), t=np.asarray(res.t),
+        cost=float(res.cost),
+        cost_history=np.asarray(res.cost_history), stats=stats)

@@ -214,12 +214,20 @@ def chain_sequence_poses(pairs: PairArrays, R_rel, t_rel, inl, n_inl, Xc,
 
 
 def init_track_points(flat: FlatTracks, pairs: PairArrays, Xc, inl, scale,
-                      Rs, ts, n_kps: list[int]):
+                      Rs, ts, n_kps: list[int],
+                      pair_src: np.ndarray | None = None,
+                      first_ray: np.ndarray | None = None):
     """[N, 3] world-point init per track from its FIRST pair's
     triangulation (a track's first observation is a match source by
     construction of build_tracks_flat).  Tracks whose first
     triangulation failed cheirality/inlier gates fall back to the
     median-depth point along the first observation ray.
+
+    `pair_src[p]` is the frame id of pair p's SOURCE frame (default
+    arange: consecutive pairs).  With keyframed init, only tracks whose
+    first observation lands on a keyframe get a direct triangulation;
+    the rest take the ray fallback (triangulate_blocks re-solves all of
+    them from the interpolated poses anyway).
 
     Returns (X [N,3] f32, ok [N] bool)."""
     N = flat.n_tracks
@@ -231,6 +239,12 @@ def init_track_points(flat: FlatTracks, pairs: PairArrays, Xc, inl, scale,
     k0[flat.tid[seg]] = flat.kp[seg]
 
     P, M = pairs.mask.shape
+    if pair_src is None:
+        pair_src = np.arange(P, dtype=np.int64)
+    F = len(n_kps)
+    pair_of_frame = np.full(F, -1, np.int64)
+    pair_of_frame[np.asarray(pair_src, np.int64)] = np.arange(P)
+
     # per-pair kp->match-row map
     rowmap = np.full((P, max(n_kps)), -1, np.int64)
     prow = np.broadcast_to(np.arange(M), (P, M))
@@ -238,34 +252,139 @@ def init_track_points(flat: FlatTracks, pairs: PairArrays, Xc, inl, scale,
     m = pairs.mask
     rowmap[pidx[m], pairs.src_kp[m]] = prow[m]
 
-    rows = rowmap[f0, k0]                               # [N]
+    p0 = pair_of_frame[f0]                              # [N] pair of f0
+    rows = np.where(p0 >= 0, rowmap[np.maximum(p0, 0), k0], -1)
     good = rows >= 0
     r = np.where(good, rows, 0)
-    Xci = Xc[f0, r] * scale[f0][:, None]                # frame-f0 cam coords
-    ok = good & inl[f0, r] & (Xc[f0, r, 2] > 0.05)
+    p0c = np.maximum(p0, 0)
+    Xci = Xc[p0c, r] * scale[p0c][:, None]              # frame-f0 cam coords
+    ok = good & inl[p0c, r] & (Xc[p0c, r, 2] > 0.05)
     med = np.median(Xci[ok, 2]) if ok.any() else 1.0
-    # fallback: median-depth point along the observation ray
-    ray = np.concatenate([pairs.x1[f0, r], np.ones((N, 1), np.float32)],
-                         axis=1)
+    # fallback: median-depth point along the track's own first-
+    # observation ray (pairs.x1 only covers tracks with a pair row)
+    ray_xy = pairs.x1[p0c, r].copy()
+    if first_ray is not None:
+        ray_xy = np.where(good[:, None], ray_xy,
+                          np.asarray(first_ray, np.float32))
+    ray = np.concatenate([ray_xy, np.ones((N, 1), np.float32)], axis=1)
     Xci = np.where(ok[:, None], Xci, ray * med)
     # world: X_w = R^T (X_c - t)
     Xw = np.einsum("nij,nj->ni", Rs[f0].transpose(0, 2, 1), Xci - ts[f0])
     return Xw.astype(np.float32), ok
 
 
+def median_match_flow(feats, pair_matches) -> float:
+    """Median pixel displacement of consecutive-frame matches — the
+    baseline-adequacy signal the auto keyframe stride keys on."""
+    meds = []
+    for p, m in enumerate(pair_matches):
+        m = np.asarray(m)
+        if len(m) == 0:
+            continue
+        dx = np.asarray(feats[p].x)[m[:, 0]] \
+            - np.asarray(feats[p + 1].x)[m[:, 1]]
+        dy = np.asarray(feats[p].y)[m[:, 0]] \
+            - np.asarray(feats[p + 1].y)[m[:, 1]]
+        meds.append(float(np.median(np.hypot(dx, dy))))
+    return float(np.median(meds)) if meds else 0.0
+
+
+def interpolate_poses(Rk: np.ndarray, tk: np.ndarray, kf: np.ndarray,
+                      n_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """SE(3) geodesic interpolation of keyframe poses to every frame:
+    rotations along the geodesic (exp of scaled log), camera centers
+    linearly.  Good enough as a BA initialization — triangulate_blocks
+    + the LM solver do the metric work."""
+    import jax.numpy as jnp
+
+    from .geometry import so3_exp, so3_log
+
+    kf = np.asarray(kf, np.int64)
+    centers_k = np.einsum("kji,kj->ki", Rk, -tk)
+    seg = np.clip(np.searchsorted(kf, np.arange(n_frames), side="right")
+                  - 1, 0, len(kf) - 2)
+    f0, f1 = kf[seg], kf[seg + 1]
+    alpha = ((np.arange(n_frames) - f0)
+             / np.maximum(f1 - f0, 1)).astype(np.float32)
+    dR = np.asarray(so3_log(jnp.einsum(
+        "kij,klj->kil", jnp.asarray(Rk[1:]), jnp.asarray(Rk[:-1]))))
+    R = np.asarray(so3_exp(jnp.asarray(alpha[:, None] * dR[seg]))
+                   ) @ Rk[seg]
+    c = (1 - alpha[:, None]) * centers_k[seg] + alpha[:, None] \
+        * centers_k[seg + 1]
+    t = -np.einsum("fij,fj->fi", R, c)
+    return R.astype(np.float32), t.astype(np.float32)
+
+
 def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
                         seed: int = 0, chunk: int = 64,
-                        n_hypotheses: int = 256):
-    """Full batched init: (R [F,3,3], t [F,3], track_X [N,3], stats)."""
+                        n_hypotheses: int = 256,
+                        kf_stride: int | str = 1,
+                        min_flow_px: float = 6.0, max_stride: int = 16):
+    """Full batched init: (R [F,3,3], t [F,3], track_X [N,3], stats).
+
+    kf_stride > 1 (or "auto") runs the pair RANSAC + scale chain on a
+    KEYFRAME subsequence and interpolates the in-between poses.  Dense
+    video shoots consecutive baselines far below the essential-matrix
+    floor — measured on a 1,000-frame circuit (per-pair flow ~1 px),
+    the consecutive-pair scale chain collapsed by e^-16 within 50
+    pairs; keyframes restore the baseline the estimator needs.  "auto"
+    picks the stride from the measured median match flow
+    (ceil(min_flow_px / flow)), so well-spaced sequences keep stride 1.
+    """
     n_kps = [len(np.asarray(f.x)) for f in feats]
-    pairs = pair_correspondence_arrays(feats, pair_matches, intr)
-    R_rel, t_rel, inl, n_inl, Xc = batched_relative_poses(
-        pairs, seed=seed, chunk=chunk, n_hypotheses=n_hypotheses)
-    Rs, ts, scale, t_rel, Xc = chain_sequence_poses(
-        pairs, R_rel, t_rel, inl, n_inl, Xc, n_kps)
-    X, ok = init_track_points(flat, pairs, Xc, inl, scale, Rs, ts, n_kps)
-    stats = {"n_pairs": len(pair_matches),
-             "weak_pairs": int((n_inl < 12).sum()),
-             "tracks_direct_init": int(ok.sum()),
-             "tracks_fallback_init": int((~ok).sum())}
+    F = len(feats)
+    if kf_stride == "auto":
+        flow = median_match_flow(feats, pair_matches)
+        stride = int(np.clip(int(np.ceil(min_flow_px / max(flow, 1e-6))),
+                             1, max_stride))
+    else:
+        stride = max(1, int(kf_stride))
+    stats = {"n_pairs": len(pair_matches), "kf_stride": stride}
+
+    if stride == 1:
+        pairs = pair_correspondence_arrays(feats, pair_matches, intr)
+        R_rel, t_rel, inl, n_inl, Xc = batched_relative_poses(
+            pairs, seed=seed, chunk=chunk, n_hypotheses=n_hypotheses)
+        Rs, ts, scale, t_rel, Xc = chain_sequence_poses(
+            pairs, R_rel, t_rel, inl, n_inl, Xc, n_kps)
+        X, ok = init_track_points(flat, pairs, Xc, inl, scale, Rs, ts,
+                                  n_kps)
+    else:
+        from ..ops.matching import match_consecutive, \
+            pad_descriptor_sequence
+        kf = list(range(0, F, stride))
+        if kf[-1] != F - 1:
+            kf.append(F - 1)
+        kf = np.asarray(kf, np.int64)
+        feats_kf = [feats[i] for i in kf]
+        n_kps_kf = [n_kps[i] for i in kf]
+        descs, dvalid = pad_descriptor_sequence(feats_kf)
+        matches_kf = match_consecutive(descs, dvalid)
+        pairs = pair_correspondence_arrays(feats_kf, matches_kf, intr)
+        R_rel, t_rel, inl, n_inl, Xc = batched_relative_poses(
+            pairs, seed=seed, chunk=chunk, n_hypotheses=n_hypotheses)
+        Rk, tk, scale, t_rel, Xc = chain_sequence_poses(
+            pairs, R_rel, t_rel, inl, n_inl, Xc, n_kps_kf)
+        Rs, ts = interpolate_poses(Rk, tk, kf, F)
+        # first-observation rays for the (majority) fallback tracks
+        N = flat.n_tracks
+        seg0 = np.flatnonzero(np.r_[True, flat.tid[1:] != flat.tid[:-1]])
+        fr = np.zeros((N, 2), np.float32)
+        fx, fy, cx, cy = [float(v) for v in np.asarray(intr)]
+        f0a = flat.frame[seg0]
+        k0a = flat.kp[seg0]
+        for f in np.unique(f0a):
+            s = f0a == f
+            fr[flat.tid[seg0[s]], 0] = \
+                (np.asarray(feats[f].x)[k0a[s]] - cx) / fx
+            fr[flat.tid[seg0[s]], 1] = \
+                (np.asarray(feats[f].y)[k0a[s]] - cy) / fy
+        X, ok = init_track_points(flat, pairs, Xc, inl, scale, Rs, ts,
+                                  n_kps, pair_src=kf[:-1],
+                                  first_ray=fr)
+        stats["n_keyframes"] = len(kf)
+    stats.update({"weak_pairs": int((n_inl < 12).sum()),
+                  "tracks_direct_init": int(ok.sum()),
+                  "tracks_fallback_init": int((~ok).sum())})
     return Rs, ts, X, stats

@@ -214,3 +214,63 @@ def build_track_blocks_flat(
     stats = {"n_blocks": n_blocks, "capacity": T, "c_win": c_win,
              "dropped_obs": dropped_obs, "dropped_tracks": dropped_tracks}
     return blocks, c_win, stats
+
+
+def merge_loop_tracks_flat(flat: FlatTracks, loop_edges,
+                           n_kps: list[int]) -> FlatTracks:
+    """Fuse verified loop-closure matches into the flat track set by
+    merging the two tracks each match connects (union-find over track
+    ids, then a dense relabel + re-sort).
+
+    The merged tracks tie a revisit's observations to the ORIGINAL
+    pass's 3-D point, which is what lets a global bundle adjustment
+    correct accumulated drift (same role as pipeline.py's
+    build_observations extra_matches, but on the vectorized flat
+    representation).  NOTE: a merged track spans the whole loop — the
+    blocked BA only keeps observations inside its c_win camera window,
+    so callers must size halo so c_win covers the revisit span (at
+    config-4 sequence lengths: c_win >= n_frames).
+
+    loop_edges: iterable with .i/.j frame ids and .matches [M, 2]
+    (kp in frame i, kp in frame j) — sfm/loops.py LoopEdge.
+    """
+    N = flat.n_tracks
+    if not N or not loop_edges:
+        return flat
+    # (frame, kp) -> tid lookup
+    kmax = max(n_kps) if len(n_kps) else 1
+    lut = np.full((len(n_kps), kmax), -1, np.int64)
+    lut[flat.frame, flat.kp] = flat.tid
+
+    parent = np.arange(N, dtype=np.int64)
+
+    def find(a: int) -> int:
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:            # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    for e in loop_edges:
+        ta = lut[e.i, e.matches[:, 0]]
+        tb = lut[e.j, e.matches[:, 1]]
+        for a, b in zip(ta, tb):
+            if a < 0 or b < 0:
+                continue
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    root = np.array([find(int(i)) for i in range(N)], np.int64)
+    # dense relabel by (first frame, root) appearance order
+    first = np.full(N, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first, root[flat.tid], flat.frame.astype(np.int64))
+    uniq = np.unique(root)
+    order = uniq[np.lexsort((uniq, first[uniq]))]
+    new_of = np.zeros(N, np.int64)
+    new_of[order] = np.arange(len(order))
+    tid2 = new_of[root[flat.tid]]
+    srt = np.lexsort((flat.frame, tid2))
+    return FlatTracks(tid=tid2[srt], frame=flat.frame[srt],
+                      kp=flat.kp[srt], n_tracks=len(order))

@@ -116,3 +116,41 @@ def test_flat_blocks_feed_sparse_ba(rng):
     res = sparse_bundle_adjust(R, t, blocks, jnp.asarray(
         [500.0, 500.0, 320.0, 240.0]), c_win, n_iters=2, cg_iters=5)
     assert np.isfinite(float(res.cost))
+
+
+def test_merge_loop_tracks_flat(rng):
+    """Loop-closure fusion: tracks joined by loop matches collapse into
+    one id; the result stays sorted, densely relabeled, and keeps every
+    observation."""
+    from types import SimpleNamespace
+
+    from local_features_tpu.sfm.tracks import merge_loop_tracks_flat
+
+    pm, n_kps = _random_chain_matches(rng, F=10, kmax=30)
+    flat = build_tracks_flat(pm, n_kps)
+    N = flat.n_tracks
+    assert N > 4
+
+    # pick two tracks with disjoint frame spans and "close the loop"
+    # between their observations
+    first = np.flatnonzero(np.r_[True, flat.tid[1:] != flat.tid[:-1]])
+    a, b = flat.tid[first[0]], flat.tid[first[-1]]
+    ia, ib = first[0], first[-1]
+    edge = SimpleNamespace(
+        i=int(flat.frame[ia]), j=int(flat.frame[ib]),
+        matches=np.array([[flat.kp[ia], flat.kp[ib]]], np.int64))
+    merged = merge_loop_tracks_flat(flat, [edge], n_kps)
+
+    assert merged.n_tracks == N - 1
+    assert len(merged.tid) == len(flat.tid)          # no obs lost
+    # sorted by (tid, frame)
+    key = merged.tid * 1000 + merged.frame
+    assert (np.diff(key) >= 0).all()
+    # dense ids
+    assert set(np.unique(merged.tid)) == set(range(N - 1))
+    # the two chosen observations now share a track id
+    ta = merged.tid[(merged.frame == edge.i) & (merged.kp == edge.matches[0, 0])]
+    tb = merged.tid[(merged.frame == edge.j) & (merged.kp == edge.matches[0, 1])]
+    assert len(ta) and len(tb) and ta[0] == tb[0]
+    # no-op cases
+    assert merge_loop_tracks_flat(flat, [], n_kps) is flat
