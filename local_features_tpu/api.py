@@ -243,9 +243,14 @@ class LocalFeatures:
         res = self._jit_cache[key](
             jnp.asarray(imgs), jnp.int32(n), jnp.float32(min_size),
             jnp.float32(self.patch_scale_factor))
+        # ONE device->host transfer per result array (B-batched), then
+        # slice on host: fetching per frame costs ~9 tunnel round trips
+        # x ~30 ms each on remote TPUs — measured 3.2 frames/s on a
+        # 120-frame sequence vs ~30 with the batched fetch
+        host = jax.device_get(res)
         out = []
         for b in range(imgs.shape[0]):
-            one = jax.tree.map(lambda a, i=b: a[i], res)
+            one = jax.tree.map(lambda a, i=b: a[i], host)
             out.append(self._to_host(one))
         return out
 

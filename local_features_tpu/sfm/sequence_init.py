@@ -320,7 +320,8 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
                         seed: int = 0, chunk: int = 64,
                         n_hypotheses: int = 256,
                         kf_stride: int | str = 1,
-                        min_flow_px: float = 6.0, max_stride: int = 16):
+                        min_flow_px: float = 6.0, max_stride: int = 16,
+                        loop_correct: bool = True):
     """Full batched init: (R [F,3,3], t [F,3], track_X [N,3], stats).
 
     kf_stride > 1 (or "auto") runs the pair RANSAC + scale chain on a
@@ -366,6 +367,37 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
             pairs, seed=seed, chunk=chunk, n_hypotheses=n_hypotheses)
         Rk, tk, scale, t_rel, Xc = chain_sequence_poses(
             pairs, R_rel, t_rel, inl, n_inl, Xc, n_kps_kf)
+        if loop_correct and len(kf) >= 12:
+            # Sim(3) de-drift of the KEYFRAME chain before
+            # interpolation: at config-5 sequence lengths the chain's
+            # accumulated scale/pose drift is exactly the slow-drift
+            # regime the Strasdat graph is built for (sfm/loops.py
+            # NOTE), and the blocked BA downstream cannot reach
+            # loop-length constraints (its camera windows are local).
+            from .loops import detect_loop_closures, \
+                loop_sim3_measurements
+            from . import sim3
+            edges_kf = detect_loop_closures(
+                feats_kf, intr,
+                min_separation=max(len(kf) // 4, 8), seed=seed)
+            stats["loop_edges_kf"] = len(edges_kf)
+            meas = loop_sim3_measurements(feats_kf, intr, Rk, tk,
+                                          matches_kf, edges_kf)
+            stats["sim3_measurements"] = len(meas)
+            if meas:
+                g = sim3.chain_graph(Rk, tk, loop_edges=meas)
+                g = sim3.optimize_robust(g, n_consecutive=len(kf) - 1)
+                Rk2, tk2 = sim3.corrected_trajectory(g)
+                Rk = np.asarray(Rk2, np.float32)
+                tk = np.asarray(tk2, np.float32)
+                # re-derive per-pair world scales from the corrected
+                # baselines (unit-baseline pair triangulations scale
+                # linearly with the true baseline)
+                ck = np.einsum("kji,kj->ki", Rk, -tk)
+                base = np.linalg.norm(np.diff(ck, axis=0), axis=1)
+                scale = (base / np.maximum(
+                    np.linalg.norm(t_rel, axis=1), 1e-9)
+                         ).astype(np.float32)
         Rs, ts = interpolate_poses(Rk, tk, kf, F)
         # first-observation rays for the (majority) fallback tracks
         N = flat.n_tracks

@@ -55,6 +55,7 @@ def main():
     ap.add_argument("--f", type=float, default=260.0)
     ap.add_argument("--max-features", type=int, default=500)
     ap.add_argument("--ba-iters", type=int, default=10)
+    ap.add_argument("--ba-rounds", type=int, default=2)
     ap.add_argument("--cg-iters", type=int, default=12)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -121,22 +122,27 @@ def main():
     clock.lap("block_packing", **bstats)
 
     Rj, tj, intr_j = jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(intr)
-    X_tri = triangulate_blocks(Rj, tj, blocks, intr_j, c_win)
-    blocks = blocks._replace(X=X_tri)
-    blocks = filter_block_outliers(Rj, tj, blocks, intr_j, c_win,
-                                   max_px=30.0)
-    clock.lap("triangulate_and_gate",
-              tracks_alive=int(np.asarray(blocks.tvalid).sum()))
-
     n_dev = len(jax.devices())
     mesh = Mesh(np.array(jax.devices()), ("map",))
-    res = sparse_bundle_adjust(Rj, tj, blocks, intr_j, c_win,
-                               mesh=mesh, axis="map",
-                               n_iters=args.ba_iters,
-                               cg_iters=args.cg_iters, huber_delta=2.0)
-    hist = [round(float(h), 4) for h in np.asarray(res.cost_history)]
-    clock.lap("sparse_ba", n_devices=n_dev, lm_iters=args.ba_iters,
-              cg_iters=args.cg_iters, cost_history=hist)
+    hist = []
+    # alternating triangulate -> gate -> LM rounds (see pipeline.py:
+    # reconstruct_sequence_batched — measured lower basin at 1k frames)
+    for _ in range(args.ba_rounds):
+        X_tri = triangulate_blocks(Rj, tj, blocks, intr_j, c_win)
+        blocks = blocks._replace(X=X_tri)
+        blocks = filter_block_outliers(Rj, tj, blocks, intr_j, c_win,
+                                       max_px=30.0)
+        res = sparse_bundle_adjust(Rj, tj, blocks, intr_j, c_win,
+                                   mesh=mesh, axis="map",
+                                   n_iters=args.ba_iters,
+                                   cg_iters=args.cg_iters,
+                                   huber_delta=2.0)
+        Rj, tj, blocks = res.R, res.t, res.blocks
+        hist += [round(float(h), 4) for h in np.asarray(res.cost_history)]
+    clock.lap("sparse_ba", n_devices=n_dev, ba_rounds=args.ba_rounds,
+              lm_iters=args.ba_iters, cg_iters=args.cg_iters,
+              tracks_alive=int(np.asarray(blocks.tvalid).sum()),
+              cost_history=hist)
 
     # accuracy: ATE (Sim(3)-aligned, monocular scale is unobservable)
     centers_est = np.einsum("cji,cj->ci", np.asarray(res.R),

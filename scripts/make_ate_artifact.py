@@ -57,10 +57,13 @@ def main():
     fg = load_gray_pil(os.path.join(root, "sample_data/bird.jpg"))
 
     t_render = time.time()
+    # LF_ATE_SEED varies BOTH the scene (patch layout) and the
+    # estimator seed, so multi-seed children measure genuinely
+    # different sequences, not just different RANSAC draws
     frames, R_gt, t_gt, intr = render_layered_sequence(
         bg.astype(np.float32), fg.astype(np.float32),
         n_frames=args.frames, height=args.height, width=args.width,
-        f=args.f)
+        f=args.f, seed=int(os.environ.get("LF_ATE_SEED", "0")))
     t_render = time.time() - t_render
     if args.seq_dir:
         write_tum_sequence(frames, R_gt, t_gt, args.seq_dir)
@@ -73,17 +76,34 @@ def main():
     # failure (CLAUDE.md pytest.ini note; reproduced here as LLVM
     # "Cannot allocate memory" mid-loop-closure)
     if os.environ.get("LF_ATE_CHILD"):
-        label, lc, graph = {
-            "odometry": ("odometry", False, "tracks"),
-            "tracks": ("odometry+loop_tracks", True, "tracks"),
-            "sim3": ("odometry+sim3_loops", True, "sim3"),
-        }[os.environ["LF_ATE_CHILD"]]
+        child = os.environ["LF_ATE_CHILD"]
+        seed = int(os.environ.get("LF_ATE_SEED", "1"))
         t0 = time.time()
-        res = reconstruct_long_sequence(
-            frames, intr, window=args.window, overlap=args.overlap,
-            max_features=args.max_features, ba_iters=20,
-            loop_closure=lc, loop_graph=graph,
-            loop_kwargs=dict(min_separation=max(args.frames // 4, 10)))
+        if child.startswith("chain"):
+            # the batched global chain (pipeline.reconstruct_sequence_
+            # batched) — the round-4 default config-4 mode
+            from local_features_tpu.sfm.pipeline import \
+                reconstruct_sequence_batched
+            lc = child == "chain_loops"
+            label = "chain+loop_tracks" if lc else "chain"
+            if seed != 1:
+                label += f"@seed{seed}"
+            res = reconstruct_sequence_batched(
+                frames, intr, max_features=args.max_features, seed=seed,
+                loop_closure=lc,
+                loop_kwargs=dict(
+                    min_separation=max(args.frames // 4, 10)))
+        else:
+            label, lc, graph = {
+                "odometry": ("odometry", False, "tracks"),
+                "tracks": ("odometry+loop_tracks", True, "tracks"),
+                "sim3": ("odometry+sim3_loops", True, "sim3"),
+            }[child]
+            res = reconstruct_long_sequence(
+                frames, intr, window=args.window, overlap=args.overlap,
+                max_features=args.max_features, ba_iters=20,
+                loop_closure=lc, loop_graph=graph,
+                loop_kwargs=dict(min_separation=max(args.frames // 4, 10)))
         wall = time.time() - t0
         ate = float(absolute_trajectory_error(
             jnp.asarray(res.camera_centers), jnp.asarray(c_gt),
@@ -96,9 +116,15 @@ def main():
 
     import subprocess
 
+    # chain children run at 3 seeds (fast); the legacy odometry modes
+    # once each (they are the slow round-3 baselines kept for
+    # comparison)
+    children = [("chain", 1), ("chain", 2), ("chain", 3),
+                ("chain_loops", 1), ("chain_loops", 2), ("chain_loops", 3),
+                ("odometry", 1), ("tracks", 1), ("sim3", 1)]
     results = {}
-    for child in ("odometry", "tracks", "sim3"):
-        env = dict(os.environ, LF_ATE_CHILD=child)
+    for child, seed in children:
+        env = dict(os.environ, LF_ATE_CHILD=child, LF_ATE_SEED=str(seed))
         out = subprocess.run(
             [sys.executable] + sys.argv, env=env, capture_output=True,
             text=True, timeout=7200)
