@@ -13,11 +13,26 @@ same two-phase boundary.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Window-key sort for the Pallas sample+describe chain (see
+# _finish_extract): makes cross-blob duplicate sampler windows adjacent
+# so the kernel's run-head dedup collapses them (~5x fewer window DMAs
+# at the bench workload).  Default OFF: measured end-to-end NEUTRAL on
+# v5e (220.4-221.5 fps across sort on/off/KB=8 vs 219-222 baseline,
+# same session) — the sampler's window DMAs are already fully hidden
+# behind its per-item tent/matmul compute by the double-buffered
+# pipeline, so halving DMA issue buys nothing while the sort+one-hot
+# unsort adds machinery.  The kernel-side run-head dedup itself stays
+# always-on (same-blob multi-orientation runs, ~1.65x fewer copies —
+# free HBM-traffic reduction).  Read once at import — baked into every
+# cached trace.
+_SAMPLER_SORT = os.environ.get("LF_SAMPLER_SORT", "0") == "1"
 
 from .. import constants as C
 from .descriptor import mkd_descriptors, sample_patches
@@ -187,7 +202,8 @@ def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
     if extent is not None:
         act_h, act_w = mip_extents(extent[0], extent[1], len(mips))
     if _use_pallas(cfg):
-        from ..pallas.sampling import build_canvas, sample_patches_pallas
+        from ..pallas.sampling import (build_canvas, sample_patches_pallas,
+                                       window_sort_key)
 
         canvas = build_canvas(mips)
         if extent is None:
@@ -197,10 +213,39 @@ def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
             # the kernel uses widths/heights ONLY for mirror folds; the
             # canvas layout stays the static padded one
             widths, heights = act_w, act_h
-        patches = sample_patches_pallas(
-            canvas, widths, heights, kps.x, kps.y, kps.size, kps.angle,
-            kps.valid, patch_scale_factor, interpret=cfg.interpret,
-        )
+        if _SAMPLER_SORT:
+            # run the sample+describe chain in window-key order so the
+            # kernel's run-head DMA dedup sees cross-blob duplicate
+            # windows adjacent (~5x fewer window DMAs at the bench
+            # workload), then restore keypoint order on the [K, 128]
+            # descriptors with an exact one-hot matmul (HIGHEST: the
+            # TPU default would round the f32 values to bf16).  The
+            # permutation never changes the public result: descriptors
+            # are per-slot functions of (x, y, size, angle, valid).
+            K = kps.x.shape[0]
+            key = window_sort_key(kps.x, kps.y, kps.size, kps.valid,
+                                  canvas.shape[0], patch_scale_factor)
+            pos = jnp.arange(K, dtype=jnp.int32)
+            _, pos_s, x_s, y_s, sz_s, an_s, v_s = jax.lax.sort(
+                (key, pos, kps.x, kps.y, kps.size, kps.angle,
+                 kps.valid.astype(jnp.int32)), num_keys=1, is_stable=True)
+            valid_s = v_s > 0
+            patches = sample_patches_pallas(
+                canvas, widths, heights, x_s, y_s, sz_s, an_s, valid_s,
+                patch_scale_factor, interpret=cfg.interpret,
+            )
+            desc_s = mkd_descriptors(patches, pca_mean, pca_proj, valid_s,
+                                     fast=True)
+            unsort = (pos_s[None, :] == pos[:, None]).astype(jnp.float32)
+            desc = jnp.dot(unsort, desc_s,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            patches = sample_patches_pallas(
+                canvas, widths, heights, kps.x, kps.y, kps.size, kps.angle,
+                kps.valid, patch_scale_factor, interpret=cfg.interpret,
+            )
+            desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid,
+                                   fast=True)
     else:
         pyr = flat_pyramid(mips)
         patches = sample_patches(
@@ -209,8 +254,8 @@ def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
             act_widths=None if extent is None else act_w,
             act_heights=None if extent is None else act_h,
         )
-    desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid,
-                           fast=_use_pallas(cfg))
+        desc = mkd_descriptors(patches, pca_mean, pca_proj, kps.valid,
+                               fast=False)
 
     return FrontendResult(
         x=kps.x, y=kps.y, size=kps.size, angle=kps.angle,

@@ -134,8 +134,8 @@ def _mirror(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(r >= nf, two_n - 1.0 - r, r)
 
 
-def _kernel(nv_ref, plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
-            canvas_ref, out_ref, win, sem):
+def _kernel(nv_ref, plane_ref, srcj_ref, ox_ref, oy_ref, oyl_ref, hw_ref,
+            fparams_ref, canvas_ref, out_ref, win, sem):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
     # last-valid frontier: programs fully past it run ONE compare
@@ -148,7 +148,13 @@ def _kernel(nv_ref, plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
         for j in range(KB):
             idx = prog * KB + j
 
-            @pl.when(plane_ref[idx] >= 0)  # plane=-1: invalid slot, skip
+            # plane=-1: invalid slot, skip.  srcj != j: this item shares
+            # its window with an earlier chunk-mate (same (plane, ox,
+            # oy) — multi-orientation keypoints of one blob, or window-
+            # key-sorted neighbors); only the run head issues the DMA
+            # and the rest read its VMEM slot (the fetch is issue-
+            # latency bound, so skipped copies are the whole win).
+            @pl.when((plane_ref[idx] >= 0) & (srcj_ref[idx] == j))
             def _(idx=idx, j=j):
                 ox = pl.multiple_of(ox_ref[idx], 16)
                 oy = pl.multiple_of(oy_ref[idx], 128)
@@ -162,7 +168,7 @@ def _kernel(nv_ref, plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
     def wait_dma(prog, slot, j):
         idx = prog * KB + j
 
-        @pl.when(plane_ref[idx] >= 0)
+        @pl.when((plane_ref[idx] >= 0) & (srcj_ref[idx] == j))
         def _():
             ox = pl.multiple_of(ox_ref[idx], 16)
             oy = pl.multiple_of(oy_ref[idx], 128)
@@ -240,7 +246,9 @@ def _kernel(nv_ref, plane_ref, ox_ref, oy_ref, oyl_ref, hw_ref, fparams_ref,
         xoht = onehot_lerp(rows_x, x0m, x1m, fx)   # [112, 1024] bf16
 
         wait_dma(g, g % 2, j)
-        s1t = jnp.dot(win[g % 2, j], yoht,
+        # window of this item's run head (== own slot when srcj == j);
+        # its DMA was waited in the head's (earlier or this) iteration
+        s1t = jnp.dot(win[g % 2, srcj_ref[k]], yoht,
                       preferred_element_type=jnp.float32)  # [112, 1024]
         row = (g % max(8 // KB, 1)) * KB + j
         out_ref[row, :] = jnp.sum(s1t * xoht.astype(jnp.float32), axis=0)
@@ -265,6 +273,49 @@ def _aligned_origin(c, align, margin):
     o = jnp.round(c).astype(jnp.int32) - margin
     o = (o // align) * align
     return jnp.maximum(0, o)
+
+
+def _window_geometry(L, kx, ky, ksize, psf):
+    """Shared mip/window addressing for one keypoint set: (level, rem,
+    px, py, ox, plane, oy, oyl).  Single source of truth for both the
+    kernel invocation (sample_patches_pallas) and the dedup sort key
+    (window_sort_key) — the two must agree or sorting silently loses
+    its DMA dedup value."""
+    scale = jnp.maximum(ksize, 1e-6) * psf / _PS
+    log2s = jnp.log2(scale)
+    # double clamp (float then int) so NaN sizes cannot yield an
+    # out-of-range plane index after the astype
+    level = jnp.clip(jnp.clip(jnp.floor(log2s), 0, L - 1)
+                     .astype(jnp.int32), 0, L - 1)
+    rem = jnp.exp2(log2s - level.astype(jnp.float32))
+    inv = jnp.exp2(-level.astype(jnp.float32))
+    px = kx * inv
+    py = ky * inv
+    ox = _aligned_origin(px, 16, 48)
+    plane, oy, oyl = _phase_origin(py, level)
+    return level, rem, px, py, ox, plane, oy, oyl
+
+
+def window_sort_key(kx, ky, ksize, kvalid, n_planes: int,
+                    patch_scale_factor=C.DEFAULT_PATCH_SCALE_FACTOR):
+    """[K] i32 key grouping keypoints that share a sampler window.
+
+    Equal key == equal (plane, ox, oy) DMA source in
+    sample_patches_pallas; sorting keypoints by it makes cross-blob
+    duplicate windows adjacent so the kernel's run-head dedup collapses
+    them to one DMA each (multi-orientation keypoints of a single blob
+    are already adjacent; the window origins are so coarsely quantized
+    — 16 sublanes x 128 lanes — that a 640x480 frame has only ~64
+    distinct windows for ~700 keypoints).  Invalid slots key to
+    i32-max, keeping the valid prefix contract after sorting.
+    `n_planes` = canvas.shape[0] (L * N_PHASE).
+    """
+    psf = jnp.asarray(patch_scale_factor, jnp.float32)
+    L = n_planes // N_PHASE
+    _, _, _, _, ox, plane, oy, _ = _window_geometry(L, kx, ky, ksize, psf)
+    # bit-packed (plane | ox/16 | oy/128): 5 + 13 + 12 bits < i32
+    key = (((plane << 13) | (ox >> 4)) << 12) | (oy >> 7)
+    return jnp.where(kvalid, key, jnp.int32(np.iinfo(np.int32).max))
 
 
 def _phase_origin(py, level):
@@ -301,10 +352,10 @@ def _sampler_core(interpret: bool):
     """
 
     @custom_vmap
-    def core(nv, plane, ox, oy, oyl, hw, fparams, canvas):
+    def core(nv, plane, srcj, ox, oy, oyl, hw, fparams, canvas):
         Kp = plane.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,  # nv, plane, ox, oy, oyl, hw, fparams
+            num_scalar_prefetch=8,  # nv, plane, srcj, ox, oy, oyl, hw, fparams
             grid=(Kp // KB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # canvas (stays in HBM)
@@ -327,25 +378,46 @@ def _sampler_core(interpret: bool):
                 bytes_accessed=Kp * (WIN_X * WIN_Y + _NS) * 4,
                 transcendentals=0,
             ),
-        )(nv, plane, ox, oy, oyl, hw, fparams, canvas)
+        )(nv, plane, srcj, ox, oy, oyl, hw, fparams, canvas)
 
     @core.def_vmap
-    def _rule(axis_size, in_batched, nv, plane, ox, oy, oyl, hw, fparams,
-              canvas):
+    def _rule(axis_size, in_batched, nv, plane, srcj, ox, oy, oyl, hw,
+              fparams, canvas):
         B = axis_size
-        nv, plane, ox, oy, oyl, hw, fparams, canvas = tuple(
+        nv, plane, srcj, ox, oy, oyl, hw, fparams, canvas = tuple(
             a if b else jnp.broadcast_to(a, (B,) + a.shape)
-            for a, b in zip((nv, plane, ox, oy, oyl, hw, fparams, canvas),
-                            in_batched)
+            for a, b in zip((nv, plane, srcj, ox, oy, oyl, hw, fparams,
+                             canvas), in_batched)
         )
         out = jnp.stack([
-            core(nv[b], plane[b], ox[b], oy[b], oyl[b], hw[b], fparams[b],
-                 canvas[b])
+            core(nv[b], plane[b], srcj[b], ox[b], oy[b], oyl[b], hw[b],
+                 fparams[b], canvas[b])
             for b in range(B)
         ])
         return out, True
 
     return core
+
+
+def _run_head_srcj(kb: int, plane, ox, oy):
+    """Within-chunk run-head slot for window-DMA dedup.
+
+    srcj[i] = j-index (within i's kb-chunk) of the FIRST item of the
+    maximal run of chunk-mates preceding i with the same (plane, ox,
+    oy) window; == i % kb when i starts its own run (invalid slots
+    always do — they never share).  The kernel issues one DMA per run
+    head and every member reads the head's VMEM slot.  Effective on
+    adjacent duplicates only: multi-orientation keypoints of one blob
+    are emitted adjacent by compaction, and the caller can sort by
+    window key to make cross-blob duplicates adjacent too
+    (ops/frontend.py:_finish_extract).
+    """
+    idx = jnp.arange(plane.shape[0], dtype=jnp.int32)
+    prev = lambda a: jnp.roll(a, 1)
+    same = ((plane == prev(plane)) & (ox == prev(ox)) & (oy == prev(oy))
+            & (plane >= 0) & (prev(plane) >= 0) & (idx % kb != 0))
+    head = jax.lax.associative_scan(jnp.maximum, jnp.where(same, 0, idx))
+    return (head - (idx // kb) * kb).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -375,23 +447,12 @@ def sample_patches_pallas(
 
     kx, ky, ksize, kangle_deg = map(pad, (kx, ky, ksize, kangle_deg))
 
-    scale = jnp.maximum(ksize, 1e-6) * psf / _PS
-    log2s = jnp.log2(scale)
-    # double clamp (float then int) so NaN sizes cannot yield an
-    # out-of-range plane index after the astype
-    level = jnp.clip(jnp.clip(jnp.floor(log2s), 0, L - 1)
-                     .astype(jnp.int32), 0, L - 1)
-    rem = jnp.exp2(log2s - level.astype(jnp.float32))
+    level, rem, px, py, ox, plane, oy, oyl = _window_geometry(
+        L, kx, ky, ksize, psf)
     theta = jnp.deg2rad(kangle_deg)
-
-    inv = jnp.exp2(-level.astype(jnp.float32))
-    px = kx * inv
-    py = ky * inv
 
     mw = widths[level]
     mh = heights[level]
-    ox = _aligned_origin(px, 16, 48)
-    plane, oy, oyl = _phase_origin(py, level)
     # skip sentinel: invalid/padding slots issue no DMA and run no
     # tent/matmul chain in the kernel (their output rows are arbitrary
     # and masked by kvalid below)
@@ -413,9 +474,12 @@ def sample_patches_pallas(
     nv = jnp.max(jnp.where(
         plane >= 0, jnp.arange(1, Kp + 1, dtype=jnp.int32), 0),
         keepdims=True)
+    # window-DMA dedup: computed from the CLAMPED origins (equal keys
+    # must mean equal DMA source)
+    srcj = _run_head_srcj(KB, plane, ox, oy)
 
-    out = _sampler_core(interpret)(nv, plane, ox, oy, oyl, hw, fparams,
-                                   canvas)
+    out = _sampler_core(interpret)(nv, plane, srcj, ox, oy, oyl, hw,
+                                   fparams, canvas)
 
     patches = out[:K].reshape(K, _PS, _PS)
     return jnp.where(kvalid[:, None, None], patches, 0.0)
