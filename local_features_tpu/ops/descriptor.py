@@ -119,12 +119,65 @@ def sample_patches(
     return jnp.where(kvalid[:, None, None], patch, 0.0)
 
 
-def _blurred_gradients(patches: jnp.ndarray):
+@functools.lru_cache(maxsize=None)
+def _blur_grad_operators():
+    """[32, 32] constant matrices for the patch blur and gradients, all
+    oriented [src, dst] so `out = in @ M` applies along the last axis
+    (and einsum 'ksx,sy->kyx' along the row axis).
+
+    Cb: 5-tap replicate-border blur, Cb[clip(d+i-2), d] += k[i].
+    Gx: negated central difference, p[clip(d-1)] - p[clip(d+1)].
+    Gy: row direction flips sign, p[clip(d+1)] - p[clip(d-1)].
+    """
+    n = C.PATCH_SIZE
+    k = C.PATCH_BLUR_KERNEL
+    rad = (len(k) - 1) // 2
+    Cb = np.zeros((n, n), np.float32)
+    for d in range(n):
+        for i, kv in enumerate(k):
+            Cb[min(max(d + i - rad, 0), n - 1), d] += np.float32(kv)
+    Gx = np.zeros((n, n), np.float32)
+    for d in range(n):
+        Gx[max(d - 1, 0), d] += 1.0
+        Gx[min(d + 1, n - 1), d] -= 1.0
+    return Cb, Gx
+
+
+def _blurred_gradients(patches: jnp.ndarray, matmul: bool = False):
     """sigma=0.7 blur then negated central-difference gradients with
     replicate border (patch_gradients.glsl:74-106, mkd_ref.rs:82-127).
     Shared by the atan2 and the transcendental-free paths so the two
-    gradient definitions cannot drift."""
+    gradient definitions cannot drift.
+
+    matmul=True lowers all four passes (blur rows, blur cols, d/dx,
+    d/dy) as batched [32, 32] constant-operator matmuls: the pad/slice
+    formulation (_clip_conv_5tap + edge pads + unaligned lane slices)
+    measured ~5 ms/8-frame batch on v5e — pure relayout traffic on
+    arrays that use 32 of 128 lanes — while the same math as MXU
+    contractions is ~2 GFLOP/batch, microseconds.  The two lowerings
+    agree to f32 summation-order noise (~2e-7 on gx/gy, pinned by
+    tests/test_mkd.py::test_gradient_matmul_lowering), but that noise
+    flips the (gx, gy) DIRECTION wherever the blurred gradient is near
+    zero, and the magnitude floor (+1e-8 in the mag term) keeps such
+    pixels' lift contribution at ~1e-2 — so descriptors move ~1e-4,
+    beyond the frozen-oracle gates.  Hence matmul stays OFF for the
+    exact/parity path and ON only in fast mode, whose bf16 patch
+    sampling already dominates exactly this sensitivity (same
+    precision-tier rule as the other bf16 fast paths, CLAUDE.md)."""
     import jax
+
+    if matmul:
+        Cb, Gx = _blur_grad_operators()
+        Cb = jnp.asarray(Cb)
+        Gx = jnp.asarray(Gx)
+        hp = jax.lax.Precision.HIGHEST
+        # vertical then horizontal blur (mkd_ref.rs order)
+        p1 = jnp.einsum("...sx,sy->...yx", patches, Cb, precision=hp)
+        p2 = jnp.einsum("...yc,cw->...yw", p1, Cb, precision=hp)
+        # gx = p[y, x-1] - p[y, x+1]; gy = p[y+1, x] - p[y-1, x]
+        gx = jnp.einsum("...yc,cw->...yw", p2, Gx, precision=hp)
+        gy = jnp.einsum("...sx,sy->...yx", p2, -Gx, precision=hp)
+        return gx, gy
 
     p = _clip_conv_5tap(patches, C.PATCH_BLUR_KERNEL)
     n = C.PATCH_SIZE
@@ -147,7 +200,7 @@ def patches_mag_angle(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return mag, ang
 
 
-def _patches_mag_cos_sin(patches: jnp.ndarray):
+def _patches_mag_cos_sin(patches: jnp.ndarray, matmul: bool = False):
     """(mag, cos(ang), sin(ang)) for ang = -atan2(gy, gx), without any
     transcendental: cos = gx/r, sin = -gy/r, r = sqrt(gx^2 + gy^2).
     Zero gradient keeps the atan2(0, 0) = 0 convention: (cos, sin) =
@@ -158,7 +211,7 @@ def _patches_mag_cos_sin(patches: jnp.ndarray):
     never selected."""
     import jax
 
-    gx, gy = _blurred_gradients(patches)
+    gx, gy = _blurred_gradients(patches, matmul=matmul)
     q = gx * gx + gy * gy
     mag = jnp.sqrt(jnp.sqrt(q + 1e-8))
     inv = jax.lax.rsqrt(q)
@@ -251,7 +304,7 @@ def raw_mkd_descriptors(patches: jnp.ndarray, fast: bool = False) -> jnp.ndarray
     (_polar_planes_rotated) — the exact path materializes both lifts in
     f32 like the reference's two embedding dispatches."""
     K = patches.shape[0]
-    mag, c1, s1 = _patches_mag_cos_sin(patches)
+    mag, c1, s1 = _patches_mag_cos_sin(patches, matmul=fast)
     m = mag.reshape(K, -1)
     c1 = c1.reshape(K, -1)
     s1 = s1.reshape(K, -1)

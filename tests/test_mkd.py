@@ -80,3 +80,20 @@ def test_fast_descriptor_matches_exact(rng):
     cos = np.sum(exact * fast, axis=1)  # both L2-normalized
     assert cos.min() > 0.99999
     np.testing.assert_allclose(fast, exact, atol=5e-3)
+
+
+def test_gradient_matmul_lowering(rng):
+    """The constant-operator matmul lowering of the blur+gradients (fast
+    path, MXU) must agree with the pad/slice sequential lowering (exact
+    path) to f32 summation-order noise on the gradients themselves.
+    (The full descriptors are NOT compared bit-level here on purpose:
+    near-zero gradients have noise-dominated directions with a floored
+    magnitude, so descriptor-level agreement is only ~1e-4 — see
+    _blurred_gradients docstring.)"""
+    from local_features_tpu.ops.descriptor import _blurred_gradients
+
+    patches = jnp.asarray(rng.random((16, 32, 32)).astype(np.float32))
+    gx0, gy0 = _blurred_gradients(patches, matmul=False)
+    gx1, gy1 = _blurred_gradients(patches, matmul=True)
+    assert float(jnp.abs(gx0 - gx1).max()) < 1e-6
+    assert float(jnp.abs(gy0 - gy1).max()) < 1e-6
