@@ -130,6 +130,32 @@ def _gather_patches_mm(coarse, xi, yi, level):
                       precision=jax.lax.Precision.HIGHEST)   # [F, 15, 15]
 
 
+def _phase_k_threshold() -> int:
+    """x-phase copy selection boundary: copy 1 is used iff
+    mod(xd - _R, 128) > 128 - _PS (window start too close to the lane
+    boundary for the 15-col patch to fit below it; jnp.mod is
+    non-negative, so xd - _R < 0 lands here too via mod in [121, 128)).
+    Shared by _arena_offsets (traced) and _cell_w (static) — the two
+    MUST agree or windows escape their plane cells."""
+    return 128 - _PS
+
+
+def _cell_w(Wl: int) -> int:
+    """Tightest plane-cell width for a level with decimated width Wl:
+    the max window end (ox + _OWIN_W) over every valid xd under the
+    min-ox phase rule.  Static trace-time search — exact by
+    construction, and pixel-exhaustively re-asserted by
+    tests/test_orientation.py::test_arena_window_containment."""
+    thr = _phase_k_threshold()
+    mx = _OWIN_W
+    for xd in range(Wl):
+        basex = xd - _R
+        if basex % 128 > thr or basex < 0:
+            basex += _XSTEP
+        mx = max(mx, (basex // 128) * 128 + _OWIN_W)
+    return mx
+
+
 def _decimated_canvases(coarse):
     """Per-level stacks of phase-decimated planes for levels
     0.._DECIM_LEVELS-1, with _XPHASE x-shifted copies of each plane:
@@ -137,24 +163,31 @@ def _decimated_canvases(coarse):
         coarse[l][py+yd*s, px+xd*s],
     zero padded (= the reference's out-of-image zero fill).  The x-phase
     copies let the window fetch use a 128-lane window (one copy always
-    puts the desired start within _XSTEP lanes below a 128-aligned
-    offset), halving window-DMA bytes vs a single 256-lane window."""
+    puts the desired start with the whole patch below the next
+    128-aligned offset), halving window-DMA bytes vs a single 256-lane
+    window."""
     nC, H, W = coarse.shape
     out = []
     for l in range(min(_DECIM_LEVELS, nC)):
         sstep = 1 << l
         Hl, Wl = -(-H // sstep), -(-W // sstep)
-        # Tight per-plane slack (the arena is HBM-traffic bound — the
-        # loose 2x margins cost ~5.7 ms/batch of the round-3 profile):
+        # Tight per-plane slack (the arena is HBM-traffic bound: its
+        # construction measured 3.3 ms/8-frame batch at the loose
+        # round-3 widths — the whole area is written every frame):
         # rows: oy = max8(yd - _R) <= Hl - 8, window end oy + _OWIN_H
         #   <= Hl + _OWIN_H - 8;
-        # cols: shifted = (xd - _R) + k*_XSTEP <= Wl - 8 + _XSTEP,
-        #   ox = floor128(shifted), window end ox + _OWIN_W
-        #   <= Wl + _XSTEP + _OWIN_W - 8.
+        # cols: exact max window end under the min-ox phase rule
+        #   (_cell_w): x_local is allowed up to 128 - _PS, so the
+        #   common case keeps ox one 128-granule lower than the old
+        #   "x_local < _XSTEP" rule and the cell sheds 128-256 lanes
+        #   per level (e.g. 640x480: level-3 cells 384 -> 128 lanes).
+        #   Phase-copy-1 content past Wc is truncated below — provably
+        #   unread: _cell_w maximizes over the same rule that decides
+        #   when copy 1 is fetched.
         # Both bounds are asserted pixel-exhaustively by
         # tests/test_orientation.py::test_arena_window_containment.
         Hc = -(-(Hl + _OWIN_H - 8) // 8) * 8
-        Wc = -(-(Wl + (_XPHASE - 1) * _XSTEP + _OWIN_W) // 128) * 128
+        Wc = _cell_w(Wl)
         c = jnp.pad(coarse[l], ((0, Hl * sstep - H), (0, Wl * sstep - W)))
         if sstep == 1:
             d = c[None]
@@ -179,11 +212,13 @@ def _decimated_canvases(coarse):
             rows = jnp.einsum("phy,yx->phx", Ay, c, precision=hp)
             d = jnp.einsum("phx,qxw->pqhw", rows, Bx, precision=hp)
             d = d.reshape(sstep * sstep, Hl, Wl)
-        out.append(jnp.concatenate([
-            jnp.pad(d, ((0, 0), (0, Hc - Hl),
-                        (p * _XSTEP, Wc - Wl - p * _XSTEP)))
-            for p in range(_XPHASE)
-        ], axis=0))
+        copies = []
+        for p in range(_XPHASE):
+            keep = min(Wl, Wc - p * _XSTEP)  # truncate unread overflow
+            copies.append(jnp.pad(
+                d[:, :, :keep],
+                ((0, 0), (0, Hc - Hl), (p * _XSTEP, Wc - keep - p * _XSTEP))))
+        out.append(jnp.concatenate(copies, axis=0))
     return tuple(out)
 
 
@@ -260,6 +295,18 @@ def _arena_offsets(coarse, xi, yi, level, bvalid):
     stage profiler (scripts/profile_pallas.py) so the two cannot drift.
     """
     arena, layout = _arena_canvas(coarse)
+    _probe = os.environ.get("LF_PROBE_ARENA2", "0")
+    if _probe == "1":
+        # measurement-only: build the arena a second time from perturbed
+        # input (no CSE) and fold it in at zero weight — the bench delta
+        # vs default is the marginal arena-construction cost
+        arena2, _ = _arena_canvas(coarse * (1.0 + 1e-7))
+        arena = arena + 0.0 * arena2
+    elif _probe == "2":
+        # decimation-only marginal (no packing): splits the arena cost
+        # between _decimated_canvases and the strip/concat packing
+        cs = _decimated_canvases(coarse * (1.0 + 1e-7))
+        arena = arena + 0.0 * sum(jnp.sum(c) for c in cs)
 
     lv = jnp.minimum(level, _DECIM_LEVELS - 1)
     sstep = jnp.left_shift(1, lv)
@@ -267,12 +314,15 @@ def _arena_offsets(coarse, xi, yi, level, bvalid):
     yd = jnp.right_shift(yi, lv)
     xd = jnp.right_shift(xi, lv)
     oy = jnp.maximum(((yd - _R) // 8) * 8, 0)
-    # x-phase selection: pick copy k so the desired start lands within
-    # _XSTEP lanes below a 128-aligned offset; x_local in [0, _XSTEP)
-    # (xd >= 0 so basex >= -_R, handled by the k=1 shift — no clamp
-    # needed for valid blobs; invalid slots are zeroed upstream)
+    # x-phase selection, min-ox rule: stay on copy 0 (k=0) whenever the
+    # whole 15-col patch fits below the next 128-aligned boundary
+    # (x_local <= 128 - _PS); shift to copy 1 only when it does not —
+    # including basex < 0, where jnp.mod lands in [121, 128).  Keeping
+    # ox one granule lower than the old "x_local < _XSTEP" rule is what
+    # lets _cell_w shed 128-256 lanes per plane cell (arena area — and
+    # its per-frame construction traffic — roughly halves at 640x480).
     basex = xd - _R
-    k = jnp.mod(-(basex // _XSTEP), _XPHASE)
+    k = (jnp.mod(basex, 128) > _phase_k_threshold()).astype(jnp.int32)
     shifted = basex + _XSTEP * k
     ox = (shifted // 128) * 128
     plane = k * sstep * sstep + plane

@@ -13,6 +13,8 @@ n_scales+2 levels at vulkan/mod.rs:1093-1144), shaders/swt_sub.glsl.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -143,6 +145,52 @@ def scale_space_prepad(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
     return jnp.stack(levels, axis=-3)
 
 
+@functools.lru_cache(maxsize=None)
+def _conv_mirror_matrix(n: int, kernel: tuple, dilation: int) -> np.ndarray:
+    """[n, n] constant applying the 1-D dilated kernel with mirror
+    border as a single matmul: out[d] = sum_src in[src] * M[src, d],
+    M[mirror(d + (i - rad) * dil), d] += k[i].  The mirror fold lives
+    in the MATRIX, so the conv needs no pad materialization at all."""
+    rad = (len(kernel) - 1) // 2
+    M = np.zeros((n, n), np.float32)
+    for i, kv in enumerate(kernel):
+        src = mirror_index_np(
+            np.arange(n) + (i - rad) * dilation, n)
+        np.add.at(M, (src, np.arange(n)), np.float32(kv))
+    return M
+
+
+def scale_space_matmul(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
+    """[n_scales+3, H, W] coarse stack via constant-matrix convs.
+
+    Same per-level construction as the default, but each separable
+    pass is one [n, n] band+mirror matmul (Precision.HIGHEST) instead
+    of a mirror-pad + 5 shifted adds — candidate for the dgrad-style
+    relayout win (ops/descriptor.py:_blurred_gradients); values agree
+    with the default to f32 summation-order noise.  Env-gated
+    (LF_SCALE_SPACE=matmul): A/B end-to-end on hardware before any
+    default flip, and remember detection consumes these values through
+    exact >=-tie comparisons.
+    """
+    img = img.astype(jnp.float32)
+    n_coarse = n_scales + 3
+    h, w = img.shape[-2], img.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    specs = [(C.BASE_BLUR_KERNEL, 1)] + [
+        (C.SWT_KERNEL, 1 << l) for l in range(n_coarse - 1)]
+    levels = []
+    cur = img
+    for kern, dil in specs:
+        kt = tuple(float(x) for x in kern)
+        Mw = jnp.asarray(_conv_mirror_matrix(w, kt, dil))
+        Mh = jnp.asarray(_conv_mirror_matrix(h, kt, dil))
+        # horizontal then vertical, matching sep_conv_mirror's order
+        cur = jnp.einsum("...yc,cw->...yw", cur, Mw, precision=hp)
+        cur = jnp.einsum("...sx,sy->...yx", cur, Mh, precision=hp)
+        levels.append(cur)
+    return jnp.stack(levels, axis=-3)
+
+
 def scale_space(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
     """[n_scales+3, H, W] coarse stack: sigma=0.6 blur then SWT levels.
 
@@ -150,13 +198,16 @@ def scale_space(img: jnp.ndarray, n_scales: int) -> jnp.ndarray:
     on-hardware A/Bs (end-to-end bench.py only — micro-benches lie on
     axon, CLAUDE.md): LF_SCALE_SPACE=prepad traces the one-shot-
     extension variant; LF_SCALE_SPACE=pallas traces the fused kernel
-    (pallas/scale_space.py; check compile time first).
+    (pallas/scale_space.py; check compile time first);
+    LF_SCALE_SPACE=matmul traces the constant-matrix conv variant.
     """
     import os
 
     impl = os.environ.get("LF_SCALE_SPACE", "")
     if impl == "prepad":
         return scale_space_prepad(img, n_scales)
+    if impl == "matmul":
+        return scale_space_matmul(img, n_scales)
     if impl == "pallas":
         from ..pallas.scale_space import ScaleSpaceVmemError, scale_space_pallas
 

@@ -96,20 +96,26 @@ def build_canvas(mips: list[jnp.ndarray]) -> jnp.ndarray:
     out = []
     for m in mips:
         mh, mw = m.shape
-        # transpose on the MXU: mt[w, y] = sum_h m[h, w] I[h, y] — a
-        # bf16 identity matmul (exact: one 1.0 x value product per
-        # output) instead of an XLA relayout transpose, which ran as a
-        # slow interleave pass on the [H, W] f32 mips (same trick as
+        # transpose + per-phase lane placement in ONE offset-one-hot
+        # matmul per copy: out_k[w, y'] = sum_h m[h, w] E_k[h, y'],
+        # E_k[h, PADT + k*PHASE_STEP + h] = 1 — exact (one 1.0 x value
+        # product per output) and writes each copy's [mw, Hc] plane
+        # once, padded lanes included.  The earlier two-step form
+        # (identity-matmul transpose, then N_PHASE jnp.pads) re-passed
+        # every plane through a pad materialization; an XLA relayout
+        # transpose of the f32 mips is slower still (same trick as
         # ops/orientation.py:_decimated_canvases).  bf16-converting
-        # before the transpose == after (elementwise cast commutes).
-        eye = jnp.eye(mh, dtype=jnp.bfloat16)
-        mt = jax.lax.dot_general(
-            m.astype(jnp.bfloat16), eye,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.bfloat16)
+        # before the matmul == after (elementwise cast commutes).
+        mb = m.astype(jnp.bfloat16)
         for k in range(N_PHASE):
             top = PADT + k * PHASE_STEP
-            out.append(jnp.pad(mt, ((0, Wc - mw), (top, Hc - mh - top))))
+            E = np.zeros((mh, Hc), np.float32)
+            E[np.arange(mh), top + np.arange(mh)] = 1.0
+            mt = jax.lax.dot_general(
+                mb, jnp.asarray(E, jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)       # [mw, Hc]
+            out.append(jnp.pad(mt, ((0, Wc - mw), (0, 0))))
     return jnp.stack(out)
 
 

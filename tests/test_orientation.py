@@ -219,10 +219,11 @@ def test_packed2_orientation_kernel_matches_gather(test_image, monkeypatch):
 
 def test_arena_window_containment():
     """Pixel-exhaustive proof that every 24x128 orientation window stays
-    inside its plane's cell in the packed arena — the tightened slack
-    bounds in _decimated_canvases (rows Hl+16, cols Wl+XSTEP+OWIN_W)
-    must hold for EVERY reachable (xd, yd), or a window silently reads
-    a neighboring plane's content."""
+    inside its plane's cell in the packed arena — the _cell_w exact
+    width and the min-ox phase rule in _arena_offsets must agree for
+    EVERY reachable (xd, yd), or a window silently reads a neighboring
+    plane's content (and the truncated tail of phase-copy 1 must be
+    provably unread)."""
     import local_features_tpu.ops.orientation as o
 
     for (H, W) in [(480, 640), (192, 1024), (240, 320), (123, 137),
@@ -231,8 +232,7 @@ def test_arena_window_containment():
             s = 1 << l
             Hl, Wl = -(-H // s), -(-W // s)
             Hc = -(-(Hl + o._OWIN_H - 8) // 8) * 8
-            Wc = -(-(Wl + (o._XPHASE - 1) * o._XSTEP + o._OWIN_W)
-                   // 128) * 128
+            Wc = o._cell_w(Wl)
             # rows: every decimated row coordinate
             yd = np.arange(Hl)
             oy = np.maximum(((yd - o._R) // 8) * 8, 0)
@@ -244,19 +244,25 @@ def test_arena_window_containment():
             # one-hot no-match — the reference's zero fill
             yl = yd - o._R - oy
             assert (yl >= -o._R).all() and (yl + 15 <= o._OWIN_H).all()
-            # cols: every decimated col coordinate, through the x-phase
-            # copy selection
+            # cols: every decimated col coordinate, through the min-ox
+            # x-phase copy selection (the SAME rule _arena_offsets
+            # traces: jnp.mod is non-negative, so basex < 0 shifts too)
             xd = np.arange(Wl)
             basex = xd - o._R
-            k = np.mod(-(basex // o._XSTEP), o._XPHASE)
+            k = (np.mod(basex, 128) > o._phase_k_threshold()).astype(int)
             shifted = basex + o._XSTEP * k
             ox = (shifted // 128) * 128
             assert (ox >= 0).all() and (ox + o._OWIN_W <= Wc).all(), \
                 (H, W, l, "cols")
             xl = shifted - ox
             assert (xl >= 0).all() and (xl + 15 <= o._OWIN_W).all()
-            # the copy content itself fits the cell
-            assert (o._XPHASE - 1) * o._XSTEP + Wl <= Wc
+            # phase-copy content is truncated at the cell edge
+            # (_decimated_canvases): every patch column actually read
+            # from copy k must exist in the truncated copy — content
+            # col c of copy k lives at lane k*XSTEP + c, and the patch
+            # reads content cols [basex, basex + 15)
+            assert (basex + 15 + k * o._XSTEP <= Wc).all(), \
+                (H, W, l, "copy truncation")
 
 
 def test_gather_patches_mm_matches_gather(rng):

@@ -67,3 +67,17 @@ def test_scale_space_prepad_matches_perlevel():
         b = np.asarray(jss.scale_space_prepad(jnp.asarray(img), 4))
         np.testing.assert_allclose(b, a, atol=2e-6, rtol=1e-6,
                                    err_msg=str(shape))
+
+
+def test_scale_space_matmul_matches_perlevel(test_image):
+    """Constant-matrix conv variant (LF_SCALE_SPACE=matmul) vs the
+    default per-level construction: same values to f32 summation-order
+    noise (the mirror fold lives in the matrix, so every border pixel
+    must agree too)."""
+    from local_features_tpu.ops.scale_space import (scale_space,
+                                                    scale_space_matmul)
+    import jax.numpy as jnp
+
+    a = np.asarray(scale_space(jnp.asarray(test_image), 4))
+    b = np.asarray(scale_space_matmul(jnp.asarray(test_image), 4))
+    np.testing.assert_allclose(b, a, atol=2e-6, rtol=1e-6)
