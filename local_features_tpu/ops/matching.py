@@ -20,16 +20,47 @@ class Matches(NamedTuple):
     mask: jnp.ndarray     # [Na] bool passed ratio test (and validity)
 
 
+import os
+
+_TOP2_IMPL = os.environ.get("LF_MATCH_TOP2", "reduce")
+
+
 def _top2(sim: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(best, second, argbest) along axis 1.
 
-    Two masked max reductions instead of jax.lax.top_k(k=2): XLA's TPU
-    top_k lowers to a full sort-style reduction (~ms for 2000x2000);
-    max/argmax are plain VPU reduces."""
-    ibest = jnp.argmax(sim, axis=1)
-    best = jnp.max(sim, axis=1)
+    Not jax.lax.top_k(k=2): XLA's TPU top_k lowers to a full sort-style
+    reduction (~ms for 2000x2000).  Default is ONE variadic reduce with
+    a (best, second, argbest) monoid — a single pass over the score
+    matrix where the older masked-max form (LF_MATCH_TOP2=masked) read
+    it three times (argmax + max + re-masked max).  Tie rule matches
+    jnp.argmax: equal bests keep the smaller index; duplicated maxima
+    make `second` equal to the max, exactly like masking out only the
+    argbest column."""
+    if _TOP2_IMPL == "masked":
+        ibest = jnp.argmax(sim, axis=1)
+        best = jnp.max(sim, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        second = jnp.max(
+            jnp.where(cols == ibest[:, None], -jnp.inf, sim), axis=1)
+        return best, second, ibest.astype(jnp.int32)
+
     cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    second = jnp.max(jnp.where(cols == ibest[:, None], -jnp.inf, sim), axis=1)
+    seconds0 = jnp.full_like(sim, -jnp.inf)
+
+    def comb(a, b):
+        b1, s1, i1 = a
+        b2, s2, i2 = b
+        take1 = (b1 > b2) | ((b1 == b2) & (i1 <= i2))
+        best = jnp.where(take1, b1, b2)
+        ibest = jnp.where(take1, i1, i2)
+        second = jnp.maximum(jnp.minimum(b1, b2), jnp.maximum(s1, s2))
+        return best, second, ibest
+
+    neg_inf = jnp.asarray(-jnp.inf, sim.dtype)
+    best, second, ibest = jax.lax.reduce(
+        (sim, seconds0, cols),
+        (neg_inf, neg_inf, jnp.int32(-1)),
+        comb, dimensions=(1,))
     return best, second, ibest.astype(jnp.int32)
 
 

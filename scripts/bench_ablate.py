@@ -261,7 +261,7 @@ def ablate(stage):
         # fake the blur + gradients + rsqrt chain (keeps lift + pooling)
         import local_features_tpu.ops.descriptor as dd
 
-        def fake(patches):
+        def fake(patches, matmul=False):
             K = patches.shape[0]
             base = jnp.sin(jnp.arange(1024, dtype=jnp.float32) * 0.13)
             m = jnp.broadcast_to(base, (K, 1024)).reshape(K, 32, 32) \
@@ -292,7 +292,7 @@ def ablate(stage):
         def fake(patches, fast=False):
             import local_features_tpu.constants as Cc
             K = patches.shape[0]
-            mag, c1, s1 = dd._patches_mag_cos_sin(patches)
+            mag, c1, s1 = dd._patches_mag_cos_sin(patches, matmul=fast)
             lift = dd._vm_stack(c1.reshape(K, -1), s1.reshape(K, -1),
                                 mag.reshape(K, -1), Cc.VM_FOURIER_N3_K8,
                                 axis=0, out_dtype=jnp.bfloat16)

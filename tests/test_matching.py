@@ -83,3 +83,40 @@ def test_real_images_smoke():
                           jnp.asarray(rb.descriptors))
     # different scenes: ratio test should kill most matches
     assert np.asarray(m.mask).sum() < 0.5 * len(ra)
+
+
+def test_top2_reduce_matches_masked():
+    """The single-pass variadic-reduce top-2 (default) must agree with
+    the three-pass masked-max lowering on values, seconds, and argbest
+    tie rule (smaller index wins), including duplicated maxima and
+    -inf-masked columns.  All--inf rows may differ in argbest only
+    (masked: 0, reduce: -1) — both yield indices=-1 after the ratio
+    mask, which is the public contract."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import local_features_tpu.ops.matching as M
+
+    rng = np.random.default_rng(7)
+    orig = M._TOP2_IMPL
+    try:
+        for trial in range(30):
+            m, n = rng.integers(1, 40, 2)
+            sim = rng.standard_normal((m, n)).astype(np.float32)
+            if n > 3:
+                sim[:, 1] = sim[:, 2]
+            if trial % 3 == 0:
+                sim[:, rng.integers(0, n)] = -np.inf
+            if trial % 7 == 0:
+                sim[:] = -np.inf
+            M._TOP2_IMPL = "masked"
+            b0, s0, i0 = M._top2(jnp.asarray(sim))
+            M._TOP2_IMPL = "reduce"
+            b1, s1, i1 = M._top2(jnp.asarray(sim))
+            np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+            np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+            row_neginf = np.all(sim == -np.inf, axis=1)
+            np.testing.assert_array_equal(np.asarray(i0)[~row_neginf],
+                                          np.asarray(i1)[~row_neginf])
+    finally:
+        M._TOP2_IMPL = orig
