@@ -22,20 +22,24 @@ class Matches(NamedTuple):
 
 import os
 
-_TOP2_IMPL = os.environ.get("LF_MATCH_TOP2", "reduce")
+_TOP2_IMPL = os.environ.get("LF_MATCH_TOP2", "masked")
 
 
 def _top2(sim: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(best, second, argbest) along axis 1.
 
     Not jax.lax.top_k(k=2): XLA's TPU top_k lowers to a full sort-style
-    reduction (~ms for 2000x2000).  Default is ONE variadic reduce with
-    a (best, second, argbest) monoid — a single pass over the score
-    matrix where the older masked-max form (LF_MATCH_TOP2=masked) read
-    it three times (argmax + max + re-masked max).  Tie rule matches
-    jnp.argmax: equal bests keep the smaller index; duplicated maxima
-    make `second` equal to the max, exactly like masking out only the
-    argbest column."""
+    reduction (~ms for 2000x2000).  Default: three masked-max passes
+    (argmax + max + re-masked max).  LF_MATCH_TOP2=reduce swaps in ONE
+    variadic reduce with a (best, second, argbest) monoid — measured
+    242.5 -> 245.1 fps at the bench shape (B=8), but the XLA TPU
+    compiler CRASHES on it at other batch sizes (B=1/2: "Check failed:
+    T::ClassOf(instr)" downcast in hlo_casting_utils during the
+    batched-reduce lowering, v5e 2026-08) — so the robust form stays
+    the default until the toolchain moves.  Tie rule matches jnp.argmax
+    in both: equal bests keep the smaller index; duplicated maxima make
+    `second` equal to the max (equivalence fuzz-pinned by
+    tests/test_matching.py::test_top2_reduce_matches_masked)."""
     if _TOP2_IMPL == "masked":
         ibest = jnp.argmax(sim, axis=1)
         best = jnp.max(sim, axis=1)
