@@ -320,7 +320,7 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
                         seed: int = 0, chunk: int = 64,
                         n_hypotheses: int = 256,
                         kf_stride: int | str = 1,
-                        min_flow_px: float = 6.0, max_stride: int = 16,
+                        min_flow_px: float = 24.0, max_stride: int = 64,
                         loop_correct: bool = True):
     """Full batched init: (R [F,3,3], t [F,3], track_X [N,3], stats).
 
@@ -332,6 +332,14 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
     pairs; keyframes restore the baseline the estimator needs.  "auto"
     picks the stride from the measured median match flow
     (ceil(min_flow_px / flow)), so well-spaced sequences keep stride 1.
+
+    min_flow_px is a TARGET keyframe flow, not a bare floor: the
+    10k-frame circuit (per-pair flow ~0.37 px) under the old 6 px /
+    max_stride 16 settings produced 626 keyframes whose baselines sat
+    at the estimator's minimum — chain drift scaled with the step count
+    and ATE blew out to 15.7% of trajectory (CONFIG5 10k run, round 4)
+    vs 2.5% at 1k frames.  24 px / cap 64 keeps the keyframe count
+    (and so the scale-chain length) roughly resolution-independent.
     """
     n_kps = [len(np.asarray(f.x)) for f in feats]
     F = len(feats)
