@@ -23,6 +23,10 @@ class Matches(NamedTuple):
 import os
 
 _TOP2_IMPL = os.environ.get("LF_MATCH_TOP2", "masked")
+if _TOP2_IMPL not in ("masked", "reduce"):
+    # defensive: an unrecognized value must not silently select the
+    # experimental reduce variant (it crashes the TPU compiler off B=8)
+    _TOP2_IMPL = "masked"
 
 
 def _top2(sim: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -129,7 +129,7 @@ def main():
             from local_features_tpu.ops.descriptor import (
                 _patches_mag_cos_sin, _vm_stack, raw_mkd_descriptors)
             K = patches.shape[0]
-            mag, c1, s1 = _patches_mag_cos_sin(patches)
+            mag, c1, s1 = _patches_mag_cos_sin(patches, matmul=True)
             if upto == "dconv":
                 return jnp.sum(mag) + jnp.sum(c1) + jnp.sum(s1)
             from local_features_tpu.ops.descriptor import (
