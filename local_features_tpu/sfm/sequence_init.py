@@ -274,8 +274,19 @@ def init_track_points(flat: FlatTracks, pairs: PairArrays, Xc, inl, scale,
 
 
 def median_match_flow(feats, pair_matches) -> float:
-    """Median pixel displacement of consecutive-frame matches — the
-    baseline-adequacy signal the auto keyframe stride keys on."""
+    """Median pixel MOTION of consecutive-frame matches — the
+    baseline-adequacy signal the auto keyframe stride keys on.
+
+    hypot of the per-pair medians of the SIGNED displacements, not the
+    median of magnitudes: detection jitter (~0.3-0.5 px, zero-centered)
+    floors the magnitude median, so at high frame rates the old form
+    measured jitter instead of motion — a 10k-frame circuit (true
+    motion 0.05 px/frame) read "0.37 px flow", the auto stride stopped
+    at 64, true keyframe baselines were ~3 px, and chain drift blew
+    ATE to 15% (round-4 10k run).  Signed medians cancel the jitter;
+    pure camera ROTATION also produces signed flow, which is correct
+    here — the stride only needs image motion, and the rotation prior
+    in the pair estimator handles the rest."""
     meds = []
     for p, m in enumerate(pair_matches):
         m = np.asarray(m)
@@ -285,7 +296,7 @@ def median_match_flow(feats, pair_matches) -> float:
             - np.asarray(feats[p + 1].x)[m[:, 1]]
         dy = np.asarray(feats[p].y)[m[:, 0]] \
             - np.asarray(feats[p + 1].y)[m[:, 1]]
-        meds.append(float(np.median(np.hypot(dx, dy))))
+        meds.append(float(np.hypot(np.median(dx), np.median(dy))))
     return float(np.median(meds)) if meds else 0.0
 
 
@@ -320,7 +331,7 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
                         seed: int = 0, chunk: int = 64,
                         n_hypotheses: int = 256,
                         kf_stride: int | str = 1,
-                        min_flow_px: float = 24.0, max_stride: int = 64,
+                        min_flow_px: float = 24.0, max_stride: int = 512,
                         loop_correct: bool = True):
     """Full batched init: (R [F,3,3], t [F,3], track_X [N,3], stats).
 
@@ -334,12 +345,15 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
     (ceil(min_flow_px / flow)), so well-spaced sequences keep stride 1.
 
     min_flow_px is a TARGET keyframe flow, not a bare floor: the
-    10k-frame circuit (per-pair flow ~0.37 px) under the old 6 px /
-    max_stride 16 settings produced 626 keyframes whose baselines sat
-    at the estimator's minimum — chain drift scaled with the step count
-    and ATE blew out to 15.7% of trajectory (CONFIG5 10k run, round 4)
-    vs 2.5% at 1k frames.  24 px / cap 64 keeps the keyframe count
-    (and so the scale-chain length) roughly resolution-independent.
+    10k-frame circuit under the old 6 px / max_stride 16 settings
+    produced 626 keyframes whose baselines sat at the estimator's
+    minimum — chain drift scaled with the step count and ATE blew out
+    to 15.7% of trajectory (CONFIG5 10k run, round 4) vs 2.5% at 1k
+    frames.  24 px target / cap 512 keeps the keyframe count (and so
+    the scale-chain length) roughly sampling-rate-independent; the
+    flow signal itself must be the jitter-immune signed-median form
+    (median_match_flow) or dense sequences saturate it at the
+    detection-noise floor.
     """
     n_kps = [len(np.asarray(f.x)) for f in feats]
     F = len(feats)
