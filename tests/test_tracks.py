@@ -154,3 +154,31 @@ def test_merge_loop_tracks_flat(rng):
     assert len(ta) and len(tb) and ta[0] == tb[0]
     # no-op cases
     assert merge_loop_tracks_flat(flat, [], n_kps) is flat
+
+
+def test_flat_observation_uv_matches_per_frame_loop(rng):
+    from local_features_tpu.sfm.tracks import flat_observation_uv
+
+    pair_matches, n_kps = _random_chain_matches(rng)
+    flat = build_tracks_flat(pair_matches, n_kps)
+
+    class _F:
+        def __init__(self, k):
+            self.x = rng.uniform(0, 640, k).astype(np.float32)
+            self.y = rng.uniform(0, 480, k).astype(np.float32)
+
+    feats = [_F(k) for k in n_kps]
+    uv = flat_observation_uv(feats, flat)
+
+    # reference: the per-frame boolean-mask gather the O(total)
+    # concatenated fancy index replaced
+    ref = np.zeros((len(flat.tid), 2), np.float32)
+    for f in np.unique(flat.frame):
+        sel = flat.frame == f
+        ref[sel, 0] = feats[f].x[flat.kp[sel]]
+        ref[sel, 1] = feats[f].y[flat.kp[sel]]
+    assert np.array_equal(uv, ref)
+
+    empty = FlatTracks(np.zeros(0, np.int64), np.zeros(0, np.int32),
+                       np.zeros(0, np.int32), 0)
+    assert flat_observation_uv(feats, empty).shape == (0, 2)
