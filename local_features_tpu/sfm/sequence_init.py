@@ -428,12 +428,16 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
         fx, fy, cx, cy = [float(v) for v in np.asarray(intr)]
         f0a = flat.frame[seg0]
         k0a = flat.kp[seg0]
-        for f in np.unique(f0a):
-            s = f0a == f
-            fr[flat.tid[seg0[s]], 0] = \
-                (np.asarray(feats[f].x)[k0a[s]] - cx) / fx
-            fr[flat.tid[seg0[s]], 1] = \
-                (np.asarray(feats[f].y)[k0a[s]] - cy) / fy
+        # one concatenated fancy index over the ragged per-frame coords
+        # (the per-frame boolean-mask form was O(F*N) — same pathology
+        # as the old tracks.flat_observation_uv)
+        xs = [np.asarray(f.x, np.float32) for f in feats]
+        offs = np.zeros(len(feats), np.int64)
+        np.cumsum([len(x) for x in xs[:-1]], out=offs[1:])
+        idx = offs[f0a] + k0a
+        fr[flat.tid[seg0], 0] = (np.concatenate(xs)[idx] - cx) / fx
+        fr[flat.tid[seg0], 1] = (np.concatenate(
+            [np.asarray(f.y, np.float32) for f in feats])[idx] - cy) / fy
         X, ok = init_track_points(flat, pairs, Xc, inl, scale, Rs, ts,
                                   n_kps, pair_src=kf[:-1],
                                   first_ray=fr)
