@@ -220,10 +220,12 @@ class LocalFeatures:
             coarse, filt, jnp.float32(self.patch_scale_factor))
         return self._to_host(res)
 
-    def detect_batch(
-        self, imgs: np.ndarray, n: int | None = None, min_size: float = 0.0
-    ) -> list[FeaturesResult]:
-        """Batched detection over [B, H, W] frames (vmapped on device)."""
+    def _dispatch_batch(self, imgs: np.ndarray, n: int | None,
+                        min_size: float):
+        """Submit one [B, H, W] batch to the device WITHOUT fetching —
+        JAX dispatch is async, so the returned arrays are futures the
+        caller can fetch later (detect_sequence overlaps batch k+1's
+        compute with batch k's host fetch this way)."""
         from .ops.frontend import FrontendConfig
         from .parallel import batched_detect_extract
 
@@ -240,19 +242,29 @@ class LocalFeatures:
             self._jit_cache[key] = jax.jit(
                 lambda im, nn, ms, psf: batched_detect_extract(
                     im, cfg, self._mean, self._proj, nn, ms, psf))
-        res = self._jit_cache[key](
+        return self._jit_cache[key](
             jnp.asarray(imgs), jnp.int32(n), jnp.float32(min_size),
             jnp.float32(self.patch_scale_factor))
-        # ONE device->host transfer per result array (B-batched), then
-        # slice on host: fetching per frame costs ~9 tunnel round trips
-        # x ~30 ms each on remote TPUs — measured 3.2 frames/s on a
-        # 120-frame sequence vs ~30 with the batched fetch
+
+    def _fetch_batch(self, res, keep: int) -> list[FeaturesResult]:
+        """ONE device->host transfer for a dispatched batch (fetching
+        per frame costs ~9 tunnel round trips x ~30 ms each on remote
+        TPUs — measured 3.2 frames/s on a 120-frame sequence vs ~30
+        with the batched fetch), then host-side slicing."""
         host = jax.device_get(res)
         out = []
-        for b in range(imgs.shape[0]):
+        for b in range(keep):
             one = jax.tree.map(lambda a, i=b: a[i], host)
             out.append(self._to_host(one))
         return out
+
+    def detect_batch(
+        self, imgs: np.ndarray, n: int | None = None, min_size: float = 0.0
+    ) -> list[FeaturesResult]:
+        """Batched detection over [B, H, W] frames (vmapped on device)."""
+        imgs = np.asarray(imgs, dtype=np.float32)
+        return self._fetch_batch(self._dispatch_batch(imgs, n, min_size),
+                                 imgs.shape[0])
 
     def detect_sequence(
         self, frames: np.ndarray, n: int | None = None,
@@ -262,20 +274,33 @@ class LocalFeatures:
         bench-level throughput: frames run through the vmapped batched
         front-end `batch` at a time (ONE device call per batch instead of
         one per frame), with the tail padded to the batch size so every
-        batch hits the same compiled executable."""
+        batch hits the same compiled executable.
+
+        The loop is software-pipelined one batch deep: batch k+1 is
+        DISPATCHED before batch k's result is fetched, so the device
+        computes k+1 while the host blocks on k's transfer — on remote
+        (tunnelled) TPUs the per-batch round trip otherwise serializes
+        fetch and compute (SEQ_TPU_r04: 13.5 fps vs 222 fps for the
+        same executables in the dependency-chained bench)."""
         frames = np.asarray(frames, dtype=np.float32)
         F = frames.shape[0]
         if F == 0:
             return []
         batch = max(1, min(int(batch), F))
         out: list[FeaturesResult] = []
+        pending: tuple | None = None     # (device result, frames to keep)
         for s in range(0, F, batch):
             chunk = frames[s: s + batch]
             pad = batch - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)])
-            out.extend(self.detect_batch(chunk, n, min_size)[: batch - pad])
+            res = self._dispatch_batch(chunk, n, min_size)
+            if pending is not None:
+                out.extend(self._fetch_batch(*pending))
+            pending = (res, batch - pad)
+        if pending is not None:
+            out.extend(self._fetch_batch(*pending))
         return out
 
     def _run(self, img, top_n, min_size, all_blobs) -> FeaturesResult:

@@ -166,13 +166,27 @@ def match_consecutive(
     bench-level throughput: `batch` pairs per vmapped device call (ONE
     dispatch + ONE host fetch per batch instead of one per pair — the
     per-pair loop's dispatch/fetch overhead dominates at config-4/5
-    sequence lengths).  Returns [F-1] arrays of [M, 2] index pairs."""
+    sequence lengths).  The loop is software-pipelined one batch deep
+    (batch k+1 dispatched before batch k is fetched), which overlaps
+    device compute with the host round trip on remote TPUs — same
+    pattern as api.detect_sequence.  Returns [F-1] arrays of [M, 2]
+    index pairs."""
     F = descs.shape[0]
     if F < 2:
         return []
     n_pairs = F - 1
     batch = max(1, min(int(batch), n_pairs))
     out: list[np.ndarray] = []
+    pending = None                   # (device Matches, pairs to keep)
+
+    def drain(p):
+        m, keep = p
+        idx = np.asarray(m.indices)
+        ok = np.asarray(m.mask)
+        for b in range(keep):
+            rows = np.flatnonzero(ok[b])
+            out.append(np.stack([rows, idx[b][rows]], axis=1))
+
     for s in range(0, n_pairs, batch):
         e = min(s + batch, n_pairs)
         pad = batch - (e - s)
@@ -183,9 +197,9 @@ def match_consecutive(
             jnp.asarray(sl(descs, 0)), jnp.asarray(sl(descs, 1)),
             jnp.asarray(sl(valid, 0)), jnp.asarray(sl(valid, 1)),
             float(ratio))
-        idx = np.asarray(m.indices)
-        ok = np.asarray(m.mask)
-        for b in range(e - s):
-            rows = np.flatnonzero(ok[b])
-            out.append(np.stack([rows, idx[b][rows]], axis=1))
+        if pending is not None:
+            drain(pending)
+        pending = (m, e - s)
+    if pending is not None:
+        drain(pending)
     return out

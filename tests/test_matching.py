@@ -120,3 +120,26 @@ def test_top2_reduce_matches_masked():
                                           np.asarray(i1)[~row_neginf])
     finally:
         M._TOP2_IMPL = orig
+
+
+def test_match_consecutive_pipelined_equals_serial():
+    """The software-pipelined match_consecutive (batch k+1 dispatched
+    before batch k is fetched) returns exactly the per-pair serial
+    result, including ragged tails across batch boundaries."""
+    from local_features_tpu.ops.matching import match_consecutive
+
+    rng = np.random.default_rng(7)
+    F, K, D = 11, 48, 128
+    descs = rng.standard_normal((F, K, D)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=2, keepdims=True)
+    valid = rng.random((F, K)) < 0.8
+
+    got = match_consecutive(descs, valid, ratio=0.8, batch=4)
+    assert len(got) == F - 1
+    for p in range(F - 1):
+        m = mutual_match(jnp.asarray(descs[p]), jnp.asarray(descs[p + 1]),
+                         jnp.asarray(valid[p]), jnp.asarray(valid[p + 1]),
+                         ratio=0.8)
+        rows = np.flatnonzero(np.asarray(m.mask))
+        want = np.stack([rows, np.asarray(m.indices)[rows]], axis=1)
+        np.testing.assert_array_equal(got[p], want)
