@@ -329,7 +329,7 @@ def reconstruct_sequence_batched(
     ba_rounds: int = 2,
     c_blk: int = 32,
     halo: int = 16,
-    max_obs: int = 8,
+    max_obs: int = 12,
     mesh=None,
     axis: str = "map",
     loop_closure: bool = False,
@@ -337,6 +337,10 @@ def reconstruct_sequence_batched(
     huber_delta: float = 2.0,
     gate_px: float = 30.0,
     kf_stride: int | str = "auto",
+    features: list | None = None,
+    matches: list[np.ndarray] | None = None,
+    smooth_weight: float = 10.0,
+    anneal: float = 0.35,
 ) -> BatchedReconstruction:
     """Global batched SfM over an ordered [F, H, W] sequence — the
     config-4/5 at-scale chain, every stage a batched device program or
@@ -368,14 +372,21 @@ def reconstruct_sequence_batched(
     from .tracks import (build_tracks_flat, build_track_blocks_flat,
                          flat_observation_uv, merge_loop_tracks_flat)
 
-    frames = np.asarray(frames, np.float32)
-    F = frames.shape[0]
-    lf = engine or LocalFeatures(max_features=max_features)
-    feats = lf.detect_sequence(frames, max_features)
+    if features is not None:
+        feats = features
+        F = len(feats)
+    else:
+        frames = np.asarray(frames, np.float32)
+        F = frames.shape[0]
+        lf = engine or LocalFeatures(max_features=max_features)
+        feats = lf.detect_sequence(frames, max_features)
     n_kp = [len(np.asarray(f.x)) for f in feats]
 
-    descs, dvalid = pad_descriptor_sequence(feats)
-    pair_matches = match_consecutive(descs, dvalid)
+    if matches is not None:
+        pair_matches = matches
+    else:
+        descs, dvalid = pad_descriptor_sequence(feats)
+        pair_matches = match_consecutive(descs, dvalid)
 
     flat = build_tracks_flat(pair_matches, n_kp)
     stats = {"n_tracks_chained": int(flat.n_tracks),
@@ -386,6 +397,7 @@ def reconstruct_sequence_batched(
     Rs, ts, X0, istats = initialize_sequence(feats, pair_matches, intr,
                                              flat, seed=seed,
                                              kf_stride=kf_stride)
+    keyframes = istats.pop("keyframes", None)
     stats.update(istats)
 
     if loop_closure:
@@ -417,24 +429,46 @@ def reconstruct_sequence_batched(
     uv = flat_observation_uv(feats, flat)
     blocks, c_win, bstats = build_track_blocks_flat(
         flat, uv, X0, F, c_blk=c_blk, halo=halo, max_obs=max_obs,
-        n_blocks_multiple=(mesh.devices.size if mesh is not None else 1))
+        n_blocks_multiple=(mesh.devices.size if mesh is not None else 1),
+        assign="mid", subsample="even")
     stats.update(bstats)
+
+    # anchor the keyframe cameras during the dense BA: the keyframe
+    # chain has already been jointly adjusted (initialize_sequence's
+    # annealed _keyframe_ba), and with c_win-local tracks the dense
+    # problem's low-frequency trajectory modes are near-gauge — left
+    # free they drift (measured at 1k frames: ATE rose while
+    # reprojection cost fell).  Anchors pin the global shape; the
+    # in-between cameras polish their SE(3)-interpolated inits.
+    fixed = None
+    if keyframes is not None and len(keyframes) >= 2:
+        fixed = np.zeros(F, bool)
+        fixed[np.asarray(keyframes, np.int64)] = True
 
     Rj, tj = jnp.asarray(Rs), jnp.asarray(ts)
     intr_j = jnp.asarray(intr, jnp.float32)
     # alternate (re-triangulate -> outlier gate -> LM rounds): refitting
     # the points from the moved cameras between LM rounds reaches a
     # lower basin than one long LM run (measured at 1k frames: cost
-    # 1.09 single-run vs 0.68 alternating, same total iterations)
-    for _ in range(max(1, ba_rounds)):
-        X_tri = triangulate_blocks(Rj, tj, blocks, intr_j, c_win)
-        blocks = blocks._replace(X=X_tri)
+    # 1.09 single-run vs 0.68 alternating, same total iterations).
+    # The gate/Huber pair ANNEALS by `anneal` each round (the keyframe
+    # BA lesson, sequence_init._keyframe_ba: a loose gate alone leaves
+    # the solution fitting the mismatch tail; a tight gate alone is
+    # fragile against a poor init).  Re-triangulation always restarts
+    # from the UNGATED packing so observations gated under an early bad
+    # estimate can return once the estimate improves.
+    blocks0 = blocks
+    for r in range(max(1, ba_rounds)):
+        X_tri = triangulate_blocks(Rj, tj, blocks0, intr_j, c_win)
+        blocks = blocks0._replace(X=X_tri)
         blocks = filter_block_outliers(Rj, tj, blocks, intr_j, c_win,
-                                       max_px=gate_px)
+                                       max_px=gate_px * anneal ** r)
         res = sparse_bundle_adjust(Rj, tj, blocks, intr_j, c_win,
                                    mesh=mesh, axis=axis, n_iters=ba_iters,
                                    cg_iters=cg_iters,
-                                   huber_delta=huber_delta)
+                                   huber_delta=huber_delta * anneal ** r,
+                                   fixed_cams=fixed,
+                                   smooth_weight=smooth_weight)
         Rj, tj, blocks = res.R, res.t, res.blocks
     return BatchedReconstruction(
         R=np.asarray(res.R), t=np.asarray(res.t),

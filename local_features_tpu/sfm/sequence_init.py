@@ -302,16 +302,23 @@ def median_match_flow(feats, pair_matches) -> float:
 
 def interpolate_poses(Rk: np.ndarray, tk: np.ndarray, kf: np.ndarray,
                       n_frames: int) -> tuple[np.ndarray, np.ndarray]:
-    """SE(3) geodesic interpolation of keyframe poses to every frame:
-    rotations along the geodesic (exp of scaled log), camera centers
-    linearly.  Good enough as a BA initialization — triangulate_blocks
-    + the LM solver do the metric work."""
+    """Interpolation of keyframe poses to every frame: rotations along
+    the SO(3) geodesic (exp of scaled log), camera centers along a
+    CATMULL-ROM cubic through the keyframe centers (tangents from
+    central differences, one-sided at the ends).
+
+    Centers are cubic, not linear, because smooth camera paths sampled
+    at keyframe stride leave linear interpolation with an O(h^2) chord
+    sag that DOMINATES the init error and that the dense BA cannot see
+    (its tracks span a few frames; the sag mode is reprojection-quiet).
+    Measured on the 1k-frame circuit cache: Sim(3) ATE 0.0124 linear
+    -> 0.0064 cubic with identical keyframe poses."""
     import jax.numpy as jnp
 
     from .geometry import so3_exp, so3_log
 
     kf = np.asarray(kf, np.int64)
-    centers_k = np.einsum("kji,kj->ki", Rk, -tk)
+    centers_k = np.einsum("kji,kj->ki", Rk, -tk).astype(np.float64)
     seg = np.clip(np.searchsorted(kf, np.arange(n_frames), side="right")
                   - 1, 0, len(kf) - 2)
     f0, f1 = kf[seg], kf[seg + 1]
@@ -321,10 +328,86 @@ def interpolate_poses(Rk: np.ndarray, tk: np.ndarray, kf: np.ndarray,
         "kij,klj->kil", jnp.asarray(Rk[1:]), jnp.asarray(Rk[:-1]))))
     R = np.asarray(so3_exp(jnp.asarray(alpha[:, None] * dR[seg]))
                    ) @ Rk[seg]
-    c = (1 - alpha[:, None]) * centers_k[seg] + alpha[:, None] \
-        * centers_k[seg + 1]
+    tknot = kf.astype(np.float64)
+    m = np.zeros_like(centers_k)
+    if len(kf) >= 3:
+        m[1:-1] = (centers_k[2:] - centers_k[:-2]) \
+            / (tknot[2:] - tknot[:-2])[:, None]
+    m[0] = (centers_k[1] - centers_k[0]) / max(tknot[1] - tknot[0], 1.0)
+    m[-1] = (centers_k[-1] - centers_k[-2]) \
+        / max(tknot[-1] - tknot[-2], 1.0)
+    h = (tknot[seg + 1] - tknot[seg])[:, None]
+    u = alpha.astype(np.float64)[:, None]
+    h00 = 2 * u ** 3 - 3 * u ** 2 + 1
+    h10 = u ** 3 - 2 * u ** 2 + u
+    h01 = -2 * u ** 3 + 3 * u ** 2
+    h11 = u ** 3 - u ** 2
+    c = (h00 * centers_k[seg] + h10 * h * m[seg]
+         + h01 * centers_k[seg + 1] + h11 * h * m[seg + 1])
     t = -np.einsum("fij,fj->fi", R, c)
     return R.astype(np.float32), t.astype(np.float32)
+
+
+def _keyframe_ba(feats_kf, matches_kf, intr, Rk, tk, n_kps_kf,
+                 seed: int = 0, n_iters: int = 12, cg_iters: int = 24,
+                 schedule=((20.0, 2.0), (5.0, 1.0), (3.0, 0.5))):
+    """Joint LM refinement of the KEYFRAME chain: chain the keyframe
+    matches into tracks, pack them into TrackBlocks whose camera
+    windows live in KEYFRAME-index space, then run ANNEALED rounds of
+    (re-triangulate from the UNGATED packing -> outlier gate -> LM)
+    with the (gate_px, huber_delta) schedule tightening each round —
+    at C = n_keyframes the problem is tiny, so this is the cheap place
+    to burn LM iterations.
+
+    The annealing is what makes it both accurate and robust (measured
+    on the 1k-frame circuit cache): a loose 20 px gate alone leaves
+    the solution fitting a heavy mismatch tail (keyframe ATE 0.0176 ->
+    0.0241, WORSE than the chain), a tight 3 px gate alone is fragile
+    when the chain init is poor, while 20 -> 5 -> 3 px with fresh
+    re-triangulation each round reached 0.0047 from a 0.0176 init and
+    0.0114 from a deliberately broken 0.164 init (stride-25 probe).
+
+    Returns (Rk, tk, stats).  Keyframe tracks typically span a handful
+    of keyframes; windows are centered on the track span (assign=mid)
+    and observations evenly subsampled, so nothing structural is
+    dropped at realistic spans."""
+    from .sparse_ba import (filter_block_outliers, sparse_bundle_adjust,
+                            triangulate_blocks)
+    from .tracks import build_tracks_flat, build_track_blocks_flat, \
+        flat_observation_uv
+    import jax.numpy as jnp
+
+    n_kf = len(feats_kf)
+    flat_kf = build_tracks_flat(matches_kf, n_kps_kf)
+    stats = {"kf_ba_tracks": int(flat_kf.n_tracks)}
+    if flat_kf.n_tracks < 24:
+        return Rk, tk, stats
+    uv_kf = flat_observation_uv(feats_kf, flat_kf)
+    # small problem: one window covering every keyframe when possible
+    c_blk = min(32, n_kf)
+    halo = min(32, max(n_kf - c_blk, 0) // 2 + 1)
+    blocks0, c_win, bstats = build_track_blocks_flat(
+        flat_kf, uv_kf, np.zeros((flat_kf.n_tracks, 3), np.float32),
+        n_kf, c_blk=c_blk, halo=halo, max_obs=8,
+        assign="mid", subsample="even")
+    stats["kf_ba_dropped_obs"] = bstats["dropped_obs"]
+
+    Rj, tj = jnp.asarray(Rk), jnp.asarray(tk)
+    intr_j = jnp.asarray(intr, jnp.float32)
+    hist = []
+    for gate_px, delta in schedule:
+        X_tri = triangulate_blocks(Rj, tj, blocks0, intr_j, c_win)
+        blocks = blocks0._replace(X=X_tri)
+        blocks = filter_block_outliers(Rj, tj, blocks, intr_j, c_win,
+                                       max_px=gate_px)
+        res = sparse_bundle_adjust(Rj, tj, blocks, intr_j, c_win,
+                                   n_iters=n_iters, cg_iters=cg_iters,
+                                   huber_delta=delta)
+        Rj, tj = res.R, res.t
+        hist += [round(float(h), 4) for h in np.asarray(res.cost_history)]
+    stats["kf_ba_cost_history"] = hist
+    return (np.asarray(Rj, np.float32), np.asarray(tj, np.float32),
+            stats)
 
 
 def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
@@ -332,7 +415,7 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
                         n_hypotheses: int = 256,
                         kf_stride: int | str = 1,
                         min_flow_px: float = 24.0, max_stride: int = 512,
-                        loop_correct: bool = True):
+                        loop_correct: bool = True, kf_ba: bool = True):
     """Full batched init: (R [F,3,3], t [F,3], track_X [N,3], stats).
 
     kf_stride > 1 (or "auto") runs the pair RANSAC + scale chain on a
@@ -389,6 +472,7 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
             pairs, seed=seed, chunk=chunk, n_hypotheses=n_hypotheses)
         Rk, tk, scale, t_rel, Xc = chain_sequence_poses(
             pairs, R_rel, t_rel, inl, n_inl, Xc, n_kps_kf)
+        corrected = False
         if loop_correct and len(kf) >= 12:
             # Sim(3) de-drift of the KEYFRAME chain before
             # interpolation: at config-5 sequence lengths the chain's
@@ -412,36 +496,47 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
                 Rk2, tk2 = sim3.corrected_trajectory(g)
                 Rk = np.asarray(Rk2, np.float32)
                 tk = np.asarray(tk2, np.float32)
-                # re-derive per-pair world scales from the corrected
-                # baselines (unit-baseline pair triangulations scale
-                # linearly with the true baseline)
-                ck = np.einsum("kji,kj->ki", Rk, -tk)
-                base = np.linalg.norm(np.diff(ck, axis=0), axis=1)
-                scale = (base / np.maximum(
-                    np.linalg.norm(t_rel, axis=1), 1e-9)
-                         ).astype(np.float32)
+                corrected = True
+        if kf_ba and len(kf) >= 6:
+            # KEYFRAME bundle adjustment before interpolation: the
+            # trajectory's remaining low-frequency error (chained-pair
+            # drift, interpolation sag) lives at keyframe scale, where
+            # the dense blocked BA downstream cannot see it (its
+            # camera windows span ~c_win consecutive RAW frames while
+            # keyframes sit kf_stride apart).  Keyframe pairs carry
+            # real baselines (the stride targets ~24 px flow), so a
+            # small joint LM over the keyframe cameras + keyframe
+            # tracks is well-conditioned and cheap (C = n_keyframes).
+            Rk, tk, kstats = _keyframe_ba(feats_kf, matches_kf, intr,
+                                          Rk, tk, n_kps_kf, seed=seed)
+            stats.update(kstats)
+            corrected = True
+        if corrected and len(kf) >= 2:
+            # re-derive per-pair world scales from the (corrected,
+            # adjusted) keyframe baselines — unit-baseline pair
+            # triangulations scale linearly with the true baseline
+            ck = np.einsum("kji,kj->ki", Rk, -tk)
+            base = np.linalg.norm(np.diff(ck, axis=0), axis=1)
+            scale = (base / np.maximum(
+                np.linalg.norm(t_rel, axis=1), 1e-9)).astype(np.float32)
         Rs, ts = interpolate_poses(Rk, tk, kf, F)
         # first-observation rays for the (majority) fallback tracks
         N = flat.n_tracks
         seg0 = np.flatnonzero(np.r_[True, flat.tid[1:] != flat.tid[:-1]])
         fr = np.zeros((N, 2), np.float32)
         fx, fy, cx, cy = [float(v) for v in np.asarray(intr)]
-        f0a = flat.frame[seg0]
-        k0a = flat.kp[seg0]
-        # one concatenated fancy index over the ragged per-frame coords
-        # (the per-frame boolean-mask form was O(F*N) — same pathology
-        # as the old tracks.flat_observation_uv)
-        xs = [np.asarray(f.x, np.float32) for f in feats]
-        offs = np.zeros(len(feats), np.int64)
-        np.cumsum([len(x) for x in xs[:-1]], out=offs[1:])
-        idx = offs[f0a] + k0a
-        fr[flat.tid[seg0], 0] = (np.concatenate(xs)[idx] - cx) / fx
-        fr[flat.tid[seg0], 1] = (np.concatenate(
-            [np.asarray(f.y, np.float32) for f in feats])[idx] - cy) / fy
+        from .tracks import concat_gather_xy
+        xy0 = concat_gather_xy(feats, flat.frame[seg0], flat.kp[seg0])
+        fr[flat.tid[seg0], 0] = (xy0[:, 0] - cx) / fx
+        fr[flat.tid[seg0], 1] = (xy0[:, 1] - cy) / fy
         X, ok = init_track_points(flat, pairs, Xc, inl, scale, Rs, ts,
                                   n_kps, pair_src=kf[:-1],
                                   first_ray=fr)
         stats["n_keyframes"] = len(kf)
+        # raw-frame indices of the keyframes — the dense BA anchors
+        # these cameras (sparse_ba fixed_cams); callers not JSON-ing
+        # arrays can pop it
+        stats["keyframes"] = np.asarray(kf, np.int64)
     stats.update({"weak_pairs": int((n_inl < 12).sum()),
                   "tracks_direct_init": int(ok.sum()),
                   "tracks_fallback_init": int((~ok).sum())})

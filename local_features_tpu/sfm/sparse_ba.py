@@ -345,22 +345,71 @@ def sparse_bundle_adjust(
     lam0: float = 1e-3,
     fix_first_cam: bool = True,
     huber_delta: float | None = None,
+    fixed_cams: np.ndarray | None = None,
+    smooth_weight: float = 0.0,
 ) -> SparseBAResult:
     """LM bundle adjustment on TrackBlocks.  With `mesh`, the block axis
     is sharded over mesh axis `axis` (map partitioning) and camera
-    reductions are psums; without, runs single-device (parity path)."""
+    reductions are psums; without, runs single-device (parity path).
+
+    `fixed_cams`: optional [C] bool mask of cameras to HOLD FIXED
+    (generalizes fix_first_cam's single gauge anchor).  The config-4/5
+    chain anchors its keyframe cameras this way: the keyframe-level BA
+    (sequence_init._keyframe_ba) has already placed them accurately,
+    and with local (c_win-windowed) tracks the dense BA's
+    low-frequency trajectory modes are nearly gauge — left free they
+    drift (measured: dense BA at 1k frames RAISED Sim(3) ATE while
+    reducing reprojection cost).  Anchoring pins the low-frequency
+    shape while in-between cameras polish their interpolated inits.
+
+    `smooth_weight` > 0 adds a SMOOTHNESS-SHAPED damping term to the
+    camera system: w * D2^T D2 inside the Schur matvec, D2 the
+    second-difference stencil over the camera index per xi component,
+    w = smooth_weight * mean(diag(U)).  Dense video puts per-frame
+    match flow BELOW detection noise (1k circuit: 0.24 px/frame flow
+    vs ~0.4 px jitter), so reprojection alone cannot localize one
+    camera between its neighbors — an unregularized step amplifies
+    detection noise into per-camera zigzag (measured: trajectory
+    second-difference RMS 7.3e-4 init -> 3.1e-2 after BA, 40x, while
+    reprojection cost fell).  Like the Levenberg term this damps the
+    STEP, not the state: a zero step costs zero, smooth corrections
+    (interpolation-sag fixes) pass nearly freely, and per-camera
+    noise-chasing steps are suppressed."""
     C = R.shape[0]
+
+    gauge_np = np.ones((C, 1), np.float32)
+    if fixed_cams is not None:
+        gauge_np[np.asarray(fixed_cams, bool)] = 0.0
+    if fix_first_cam:
+        gauge_np[0] = 0.0
+    any_fixed = bool((gauge_np == 0.0).any())
+    gauge_const = jnp.asarray(gauge_np)
 
     allsum = (lambda v: jax.lax.psum(v, axis)) if mesh is not None \
         else (lambda v: v)
 
     def cost_of(Rg, tg, blk):
+        """Mean robust cost — the OBJECTIVE the LM step minimizes.
+        With huber_delta set this must be the Huber loss, not the raw
+        squared residual: the IRLS-weighted step reduces the robust
+        cost but can RAISE the raw one whenever the inlier gain is
+        smaller than an outlier's growth, and a raw-cost accept test
+        then rejects every step (measured on the keyframe-BA problem:
+        cost history flat for 40 iterations with huber_delta=2, smooth
+        convergence with the robust accept test)."""
         on, r, *_ = _obs_terms(Rg, tg, blk, intr, c_win, None)
         n = allsum(jnp.sum(blk.valid & blk.tvalid[..., None]))
-        return allsum(jnp.sum(r * r)) / jnp.maximum(n.astype(jnp.float32), 1.0)
+        if huber_delta is None:
+            s = allsum(jnp.sum(r * r))
+        else:
+            rn = jnp.linalg.norm(r, axis=-1)   # 0 at masked slots
+            s = allsum(jnp.sum(jnp.where(
+                rn <= huber_delta, rn * rn,
+                huber_delta * (2.0 * rn - huber_delta))))
+        return s / jnp.maximum(n.astype(jnp.float32), 1.0)
 
     def lm_step(carry, _):
-        Rg, tg, X, lam = carry
+        Rg, tg, X, lam, nu = carry
         blk = blocks._replace(X=X)
         onehot, r, Jc, Jp, w = _obs_terms(Rg, tg, blk, intr, c_win,
                                           huber_delta)
@@ -386,13 +435,27 @@ def sparse_bundle_adjust(
             jnp.einsum("btkw,btki->bwi", onehot, WVg, precision=_HI),
             blk.win_start, C))
 
-        gauge = jnp.ones((C, 1))
-        if fix_first_cam:
-            gauge = gauge.at[0].set(0.0)
+        gauge = gauge_const
         rhs = rhs * gauge
 
+        # smoothness damping weight, scaled to the problem's curvature
+        ws = None
+        if smooth_weight > 0.0 and C >= 3:
+            ws = smooth_weight * jnp.mean(
+                jnp.diagonal(U_d, axis1=-2, axis2=-1))
+
+        def _d2td2(x):
+            """D2^T D2 x over the camera axis, per xi component (x is
+            the replicated [C, 6] step — static slices, no psum)."""
+            y = x[:-2] - 2.0 * x[1:-1] + x[2:]          # [C-2, 6]
+            out = jnp.zeros_like(x)
+            out = out.at[:-2].add(y)
+            out = out.at[1:-1].add(-2.0 * y)
+            out = out.at[2:].add(y)
+            return out
+
         def S_matvec(x):
-            """(U + lam) x - W Vinv W^T x, gauge-masked."""
+            """(U + lam) x - W Vinv W^T x (+ smoothness), gauge-masked."""
             x = x * gauge
             ux = jnp.einsum("cij,cj->ci", U_d, x, precision=_HI)
             x_win = _window_slice(x, blk.win_start, c_win)
@@ -404,7 +467,9 @@ def sparse_bundle_adjust(
             q_win = jnp.einsum("btkw,btki->bwi", onehot, q, precision=_HI)
             wx = allsum(_scatter_windows(q_win, blk.win_start, C))
             out = ux - wx
-            if fix_first_cam:
+            if ws is not None:
+                out = out + ws * _d2td2(x)
+            if any_fixed:
                 out = out * gauge + x * (1.0 - gauge)
             return out
 
@@ -416,6 +481,10 @@ def sparse_bundle_adjust(
         Dq = jnp.einsum("btkij,btjl,btkml->btkim", Wm, Vinv, Wm, precision=_HI)
         D_win = jnp.einsum("btkw,btkij->bwij", onehot, Dq, precision=_HI)
         S_diag = U_d - allsum(_scatter_windows(D_win, blk.win_start, C))
+        if ws is not None:
+            # interior diagonal of D2^T D2 is 6 (1+4+1); close enough
+            # at the two boundary rows for a preconditioner
+            S_diag = S_diag + (6.0 * ws) * jnp.eye(6)
         Minv = _inv_damped_equilibrated(S_diag, 1e-6)
         prec = lambda v: jnp.einsum("cij,cj->ci", Minv, v, precision=_HI) * gauge
 
@@ -450,18 +519,42 @@ def sparse_bundle_adjust(
         c_old = cost_of(Rg, tg, blk)
         c_new = cost_of(R_new, t_new, blk._replace(X=X_new))
         accept = c_new < c_old
+
+        # Nielsen lam schedule, driven by the gain ratio rho = actual /
+        # predicted cost decrease.  The old fixed x0.5 / x4 rule paid
+        # full Jacobian+CG cost for long reject runs (CONFIG5_r04: ~3
+        # accepted of 20 iterations — each accept halved lam straight
+        # back into the reject zone).  Nielsen decreases lam gently
+        # when rho is small (max 1/3 factor only for excellent steps)
+        # and escalates geometrically on consecutive rejects (nu
+        # doubles), so plateaus cost O(log) iterations, not O(n).
+        # Predicted decrease of 0.5*sum(r_w^2) for the LM system
+        # (H + lam*I) d = g  is  0.5 * d^T (lam*d + g); cost_of is a
+        # MEAN of squared residuals, so scale by n to compare.
+        n_obs = allsum(jnp.sum(blk.valid & blk.tvalid[..., None])
+                       ).astype(jnp.float32)
+        pred = 0.5 * (jnp.sum(d_xi * (lam * d_xi + gc))
+                      + allsum(jnp.sum(d_X * (lam * d_X + gp))))
+        rho = (c_old - c_new) * jnp.maximum(n_obs, 1.0) \
+            / jnp.maximum(2.0 * pred, 1e-20)
         Rg = jnp.where(accept, R_new, Rg)
         tg = jnp.where(accept, t_new, tg)
         X = jnp.where(accept, X_new, X)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
-                        jnp.minimum(lam * 4.0, 1e6))
-        return (Rg, tg, X, lam), jnp.where(accept, c_new, c_old)
+        shrink = jnp.maximum(1.0 / 3.0,
+                             1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept,
+                        jnp.maximum(lam * shrink, 1e-9),
+                        jnp.minimum(lam * nu, 1e8))
+        nu = jnp.where(accept, jnp.float32(2.0),
+                       jnp.minimum(nu * 2.0, 64.0))
+        return (Rg, tg, X, lam, nu), jnp.where(accept, c_new, c_old)
 
     def run(Rg, tg, uv, cam, valid, X, tvalid, win_start):
         nonlocal blocks
         blocks = TrackBlocks(uv, cam, valid, X, tvalid, win_start)
-        (Rg, tg, X, _), hist = jax.lax.scan(
-            lm_step, (Rg, tg, blocks.X, jnp.float32(lam0)), None,
+        (Rg, tg, X, _, _), hist = jax.lax.scan(
+            lm_step, (Rg, tg, blocks.X, jnp.float32(lam0),
+                      jnp.float32(2.0)), None,
             length=n_iters)
         cost = cost_of(Rg, tg, blocks._replace(X=X))
         return Rg, tg, X, cost, hist

@@ -84,23 +84,30 @@ def build_tracks_flat(pair_matches: list[np.ndarray],
                       n_tracks=next_id)
 
 
-def flat_observation_uv(feats, flat: FlatTracks) -> np.ndarray:
-    """[O, 2] pixel coordinates for each observation.
+def concat_gather_xy(feats, frame_idx: np.ndarray,
+                     kp_idx: np.ndarray) -> np.ndarray:
+    """[M, 2] pixel coordinates of (frame, kp) pairs, resolved with ONE
+    fancy index through a concatenation of the ragged per-frame coords.
 
-    Concatenates the (ragged) per-frame coordinate arrays once and
-    resolves every observation with a single fancy index through
-    per-frame offsets — O(total_kps + O).  The previous per-frame
-    boolean-mask loop was O(F*O) and dominated the config-5 10k-frame
-    chain's host glue (214 s of the 886 s total in CONFIG5_10K_r04)."""
-    if len(flat.tid) == 0 or len(feats) == 0:
-        return np.zeros((len(flat.tid), 2), np.float32)
+    O(total_kps + M); the per-frame boolean-mask loop it replaces was
+    O(F*M) and dominated the config-5 10k-frame chain's host glue
+    (214 s of the 886 s total in CONFIG5_10K_r04).  Shared by
+    flat_observation_uv and sequence_init's first-ray fallback."""
+    if len(frame_idx) == 0 or len(feats) == 0:
+        return np.zeros((len(frame_idx), 2), np.float32)
     xs = [np.asarray(f.x, np.float32) for f in feats]
-    ys = [np.asarray(f.y, np.float32) for f in feats]
     offs = np.zeros(len(feats), np.int64)
     np.cumsum([len(x) for x in xs[:-1]], out=offs[1:])
-    idx = offs[flat.frame] + flat.kp
-    return np.stack([np.concatenate(xs)[idx],
-                     np.concatenate(ys)[idx]], axis=1)
+    idx = offs[np.asarray(frame_idx, np.int64)] + kp_idx
+    return np.stack(
+        [np.concatenate(xs)[idx],
+         np.concatenate([np.asarray(f.y, np.float32)
+                         for f in feats])[idx]], axis=1)
+
+
+def flat_observation_uv(feats, flat: FlatTracks) -> np.ndarray:
+    """[O, 2] pixel coordinates for each observation."""
+    return concat_gather_xy(feats, flat.frame, flat.kp)
 
 
 def _segment_starts(sorted_ids: np.ndarray) -> np.ndarray:
@@ -120,15 +127,30 @@ def build_track_blocks_flat(
     max_obs: int = 8,
     block_capacity: int | None = None,
     n_blocks_multiple: int = 1,
+    assign: str = "first",
+    subsample: str = "head",
 ):
     """Vectorized equivalent of sparse_ba.build_track_blocks.
 
-    Same packing semantics (block = first camera's block; observations
-    outside the window or past `max_obs` dropped; <2-obs tracks leave
-    a gap slot; block overflow drops the tail), same stats dict — but
-    expressed as lexsorts + segmented cumsums + fancy-indexed scatters,
-    no per-track Python.  Tested slot-for-slot equal against the loop
-    builder (tests/test_tracks.py).
+    Same packing semantics at the defaults (block = first camera's
+    block; observations outside the window or past `max_obs` dropped;
+    <2-obs tracks leave a gap slot; block overflow drops the tail),
+    same stats dict — but expressed as lexsorts + segmented cumsums +
+    fancy-indexed scatters, no per-track Python.  Tested slot-for-slot
+    equal against the loop builder (tests/test_tracks.py).
+
+    Two round-5 evidence-retention options (CONFIG5_10K_r04 dropped
+    54 % of observations with the defaults — dense-video tracks are
+    long-lived, the first-camera window clips their tails and the
+    head-K cap discards the spread the triangulation needs):
+
+    - assign="mid": key a track's block by its MIDDLE camera, centering
+      the window on the track span instead of starting it there;
+    - subsample="even": when a track has more in-window observations
+      than `max_obs` (=K), keep an evenly-spaced subset across its
+      span instead of the head: the first observation always survives
+      and the kept set covers >= (1 - 1/K) of the in-window span, so
+      triangulation sees (nearly) the track's full baseline.
     """
     import jax.numpy as jnp
 
@@ -151,7 +173,14 @@ def build_track_blocks_flat(
     track_len = np.zeros(N, np.int64)
     np.add.at(track_len, tid, 1)
 
-    b_of = np.minimum(first_cam // c_blk, n_blocks - 1)          # [N]
+    if assign == "mid":
+        last_cam = np.zeros(N, np.int64)
+        seg_end = np.r_[seg[1:] - 1, O - 1] if O else np.zeros(0, np.int64)
+        last_cam[seen] = cam[seg_end]
+        key_cam = (first_cam + last_cam) // 2
+    else:
+        key_cam = first_cam
+    b_of = np.minimum(key_cam // c_blk, n_blocks - 1)            # [N]
     ws_of = np.clip(b_of * c_blk - halo, 0, n_cameras - c_win)   # [N]
 
     # keep mask: obs inside its track's camera window
@@ -162,7 +191,26 @@ def build_track_blocks_flat(
     base = np.zeros(N, np.int64)
     base[seen] = csum[seg]
     rank = csum - base[tid]                                      # [O]
-    keep_k = keep & (rank < max_obs)
+    if subsample == "even":
+        # evenly-spaced selection of max_obs of the n_kept in-window
+        # observations: an obs with in-window rank r survives iff
+        # floor(r * K / n_kept) > floor((r-1) * K / n_kept), i.e. it is
+        # the first to reach a new one of K evenly-spaced quantile
+        # cells — keeps rank 0 always and exactly min(n_kept, K) per
+        # track.  Re-rank the survivors so slots stay a dense prefix.
+        n_kept = np.zeros(N, np.int64)
+        np.add.at(n_kept, tid[keep], 1)
+        nk = np.maximum(n_kept[tid], 1)
+        cell = rank * max_obs // nk
+        cell_prev = np.where(rank > 0, (rank - 1) * max_obs // nk, -1)
+        sel = keep & (cell > cell_prev)
+        csum2 = np.cumsum(sel) - sel
+        base2 = np.zeros(N, np.int64)
+        base2[seen] = csum2[seg]
+        keep_k = sel
+        rank = csum2 - base2[tid]
+    else:
+        keep_k = keep & (rank < max_obs)
     kept_per_track = np.zeros(N, np.int64)
     np.add.at(kept_per_track, tid[keep_k], 1)
     # NOTE: the loop builder counts "kept minus K" overflow from the

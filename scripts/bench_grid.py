@@ -62,7 +62,7 @@ def open_houses(scale):
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
-def time_config(img, n_feats, n_scales, iters):
+def time_config(img, n_feats, n_scales, iters, samples=1):
     import jax
     import jax.numpy as jnp
 
@@ -90,23 +90,35 @@ def time_config(img, n_feats, n_scales, iters):
     x = step(img)
     _ = np.asarray(jnp.sum(x))  # compile + warm
 
-    t0 = time.perf_counter()
-    x = img
-    for _ in range(iters):
-        x = step(x)
-    _ = np.asarray(jnp.sum(x))
-    dt = time.perf_counter() - t0
-    return dt / iters
+    # criterion-style statistics: `samples` independent dependency-
+    # chained runs of `iters` steps each (the reference takes 50
+    # criterion samples per config, bench.rs:41-74; each sample here
+    # amortizes tunnel latency over the chained iters)
+    per_sample = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        x = img
+        for _ in range(iters):
+            x = step(x)
+        _ = np.asarray(jnp.sum(x))
+        per_sample.append((time.perf_counter() - t0) / iters)
+    return per_sample
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--samples", type=int, default=5,
+                    help="independent timing samples per config "
+                         "(criterion runs 50; each sample here is an "
+                         "`iters`-step dependency chain)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny subset / few iters (CI smoke)")
     ap.add_argument("--synthetic", action="store_true",
                     help="640x480-based sine+noise texture instead of "
                          "houses.jpg (pre-round-4 behavior)")
+    ap.add_argument("--out", default=None,
+                    help="write the result list as JSON to this path")
     args = ap.parse_args()
 
     if args.quick:
@@ -114,11 +126,13 @@ def main():
         feats = [500]
         nscales_list = [3]
         iters = 2
+        samples = 2
     else:
         scales = [0.25, 0.5, 0.75, 1.0]
         feats = [100, 500, 1000, 2000]
         nscales_list = [3, 5]
         iters = args.iters
+        samples = args.samples
 
     if args.synthetic:
         BH, BW = 480, 640
@@ -128,6 +142,21 @@ def main():
         load = open_houses
         src = "houses.jpg"
 
+    def _stats(per_sample_s, config):
+        import numpy as np
+        ms = np.asarray(per_sample_s) * 1e3
+        rec = {"config": config,
+               "ms_per_frame": round(float(ms.mean()), 3),
+               "frames_per_s": round(float(1e3 / ms.mean()), 2),
+               "n_samples": len(ms),
+               "iters_per_sample": iters,
+               "ms_min": round(float(ms.min()), 3),
+               "ms_max": round(float(ms.max()), 3),
+               "ms_std": round(float(ms.std(ddof=1)) if len(ms) > 1
+                               else 0.0, 3)}
+        print(json.dumps(rec), flush=True)
+        return rec
+
     results = []
     # sweep (a): image scale at 3000 (or max) features
     top = 3000 if not args.quick else 500
@@ -135,13 +164,9 @@ def main():
         for s in scales:
             img = load(s)
             H, W = img.shape
-            ms = time_config(img, top, ns, iters) * 1e3
-            rec = {"config": f"{src},scale={s}({H}x{W}),feats={top},"
-                             f"n_scales={ns}",
-                   "ms_per_frame": round(ms, 3),
-                   "frames_per_s": round(1e3 / ms, 2)}
-            print(json.dumps(rec), flush=True)
-            results.append(rec)
+            ts = time_config(img, top, ns, iters, samples)
+            results.append(_stats(
+                ts, f"{src},scale={s}({H}x{W}),feats={top},n_scales={ns}"))
     # sweep (b): full-res, feature-count sweep (quick mode stays at the
     # small sweep-(a) scale so the smoke run finishes in minutes)
     bscale = scales[0] if args.quick else 1.0
@@ -149,13 +174,13 @@ def main():
     H, W = img.shape
     for ns in nscales_list:
         for nf in feats:
-            ms = time_config(img, nf, ns, iters) * 1e3
-            rec = {"config": f"{src},fullres*{bscale}({H}x{W}),feats={nf},"
-                             f"n_scales={ns}",
-                   "ms_per_frame": round(ms, 3),
-                   "frames_per_s": round(1e3 / ms, 2)}
-            print(json.dumps(rec), flush=True)
-            results.append(rec)
+            ts = time_config(img, nf, ns, iters, samples)
+            results.append(_stats(
+                ts, f"{src},fullres*{bscale}({H}x{W}),feats={nf},"
+                    f"n_scales={ns}"))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
     return results
 
 

@@ -3,10 +3,11 @@ cached to an npz so packing/BA experiments iterate without re-paying
 the ~12 min 10k-frame frontend (CONFIG5_10K_r04: render 312 s +
 frontend 685 s + matching 30 s of the 886 s host total).
 
-Saves per-frame keypoint coords (ragged -> concat + offsets), the
-consecutive pair matches (ragged -> concat + offsets), ground-truth
-poses and intrinsics.  Descriptors are NOT kept (only matching needs
-them, and matches are cached downstream of them).
+Saves per-frame keypoint coords + descriptors (ragged -> concat +
+offsets), the consecutive pair matches (ragged -> concat + offsets),
+ground-truth poses and intrinsics.  Descriptors are kept because the
+keyframed init re-matches non-consecutive KEYFRAME pairs downstream
+(sequence_init.initialize_sequence).
 
 Usage:  python scripts/cache_chain_inputs.py --frames 1000
 Output: artifacts/chain_cache_{frames}.npz
@@ -45,11 +46,12 @@ def load_cache(frames: int):
 
 
 class _Feat:
-    """Duck-typed stand-in for FeaturesResult (x/y attrs + len)."""
+    """Duck-typed stand-in for FeaturesResult (x/y/descriptors + len)."""
 
-    def __init__(self, x, y):
+    def __init__(self, x, y, descriptors):
         self.x = x
         self.y = y
+        self.descriptors = descriptors
 
     def __len__(self):
         return len(self.x)
@@ -57,9 +59,16 @@ class _Feat:
 
 def load_cache_feats(frames: int):
     """(feats, pair_matches, R_gt, t_gt, intr) with feats exposing
-    .x/.y — enough for tracks/sequence_init/packing experiments."""
-    xs, ys, pm, R_gt, t_gt, intr = load_cache(frames)
-    return ([_Feat(x, y) for x, y in zip(xs, ys)], pm, R_gt, t_gt, intr)
+    .x/.y/.descriptors — enough for tracks/sequence_init/packing
+    experiments."""
+    d = np.load(cache_path(frames))
+    ko = d["kp_offsets"]
+    desc = d["desc"]
+    feats = [_Feat(d["kp_x"][ko[i]:ko[i + 1]], d["kp_y"][ko[i]:ko[i + 1]],
+                   desc[ko[i]:ko[i + 1]]) for i in range(len(ko) - 1)]
+    mo = d["match_offsets"]
+    pm = [d["matches"][mo[i]:mo[i + 1]] for i in range(len(mo) - 1)]
+    return feats, pm, d["R_gt"], d["t_gt"], d["intr"]
 
 
 def main():
@@ -116,6 +125,9 @@ def main():
         matches=(np.concatenate(pm) if pm
                  else np.zeros((0, 2), np.int32)).astype(np.int32),
         match_offsets=mo,
+        desc=np.concatenate(
+            [np.asarray(f.descriptors, np.float16) for f in feats])
+        if feats else np.zeros((0, 128), np.float16),
         R_gt=R_gt, t_gt=t_gt, intr=np.asarray(intr, np.float32))
     print(f"wrote {cache_path(args.frames)}", flush=True)
 

@@ -111,3 +111,30 @@ def test_odometry_on_tum_mini():
     # test_odometry.py on float frames; this test pins the dataset
     # format -> trajectory -> ATE plumbing under realistic 8-bit input.
     assert ate < 0.10 * extent, (ate, extent)
+
+
+@pytest.mark.slow
+def test_batched_chain_on_dataset_fixtures():
+    """Config-4 DEFAULT chain (reconstruct_sequence_batched) composed
+    end-to-end over BOTH vendored dataset formats: loader -> batched
+    front-end -> matching -> tracks -> init -> blocked sparse BA ->
+    ATE.  The loaders were previously only tested in isolation; this
+    pins the full plumbing on the real TUM/KITTI directory layouts."""
+    from local_features_tpu.sfm.pipeline import reconstruct_sequence_batched
+
+    for loader in (
+        lambda: datasets.load_tum_rgbd(DATA / "tum_mini", intr=_intr()),
+        lambda: datasets.load_kitti_odometry(DATA / "kitti_mini"),
+    ):
+        seq = loader()
+        res = reconstruct_sequence_batched(
+            seq.frames, seq.intr, max_features=500, seed=1,
+            ba_iters=6, ba_rounds=2)
+        assert res.R.shape == (len(seq), 3, 3)
+        ate = datasets.evaluate_ate(res, seq)
+        extent = float(np.linalg.norm(
+            seq.gt_centers - seq.gt_centers.mean(0), axis=1).max())
+        # same 10% gate rationale as test_odometry_on_tum_mini: the
+        # 8-bit PNG round trip adds subpixel noise; the tight precision
+        # gates live in test_chain_ate.py on float frames
+        assert ate < 0.10 * extent, (ate, extent)

@@ -182,3 +182,67 @@ def test_flat_observation_uv_matches_per_frame_loop(rng):
     empty = FlatTracks(np.zeros(0, np.int64), np.zeros(0, np.int32),
                        np.zeros(0, np.int32), 0)
     assert flat_observation_uv(feats, empty).shape == (0, 2)
+
+
+def test_block_builder_mid_even_options():
+    """assign="mid" + subsample="even": kept observations per track are
+    min(in-window, K), evenly spread across the span with the first
+    in-window obs always kept, windows center on the track's mid
+    camera, and the drop accounting matches the packed contents."""
+    import numpy as np
+
+    from local_features_tpu.sfm.tracks import (FlatTracks,
+                                               build_track_blocks_flat)
+
+    rng = np.random.default_rng(11)
+    F = 200
+    tids, frames, kps = [], [], []
+    spans = []
+    for t in range(40):
+        start = int(rng.integers(0, F - 2))
+        length = int(rng.integers(2, min(F - start, 90)))
+        spans.append((start, start + length - 1))
+        tids += [t] * length
+        frames += list(range(start, start + length))
+        kps += [t] * length
+    order = np.lexsort((frames, tids))
+    flat = FlatTracks(tid=np.asarray(tids, np.int64)[order],
+                      frame=np.asarray(frames, np.int32)[order],
+                      kp=np.asarray(kps, np.int32)[order], n_tracks=40)
+    uv = rng.random((len(flat.tid), 2)).astype(np.float32)
+    X0 = rng.random((40, 3)).astype(np.float32)
+
+    K = 8
+    blocks, c_win, stats = build_track_blocks_flat(
+        flat, uv, X0, F, c_blk=32, halo=16, max_obs=K,
+        assign="mid", subsample="even")
+    valid = np.asarray(blocks.valid)
+    cam = np.asarray(blocks.cam)
+    ws = np.asarray(blocks.win_start)
+    # window-local camera indices in range
+    assert (cam[valid] >= 0).all() and (cam[valid] < c_win).all()
+    kept_total = int(valid.sum())
+    # reconstruct per-track expectations
+    exp_kept = 0
+    for t in range(40):
+        obs_f = np.sort(flat.frame[flat.tid == t].astype(np.int64))
+        mid = (obs_f[0] + obs_f[-1]) // 2
+        b = min(mid // 32, np.asarray(blocks.win_start).shape[0] - 1)
+        w0 = int(np.clip(b * 32 - 16, 0, F - c_win))
+        inwin = obs_f[(obs_f >= w0) & (obs_f < w0 + c_win)]
+        exp_kept += min(len(inwin), K)
+    assert kept_total == exp_kept
+    assert stats["dropped_obs"] == len(flat.tid) - kept_total
+    # even spread of every valid track slot's kept frames
+    for b in range(valid.shape[0]):
+        w0 = int(ws[b])
+        for s in range(valid.shape[1]):
+            if not np.asarray(blocks.tvalid)[b, s]:
+                continue
+            fr = np.sort(w0 + cam[b, s][valid[b, s]])
+            if len(fr) > 1:
+                gaps = np.diff(fr)
+                n_in = len(fr)
+                # spread: max gap bounded by ~2x the even spacing
+                assert gaps.max() <= max(2 * (fr[-1] - fr[0]) // max(
+                    n_in - 1, 1) + 2, 3)
