@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Window-key sort for the Pallas sample+describe chain (see
 # _finish_extract): makes cross-blob duplicate sampler windows adjacent
@@ -63,6 +64,14 @@ class FrontendConfig:
     sampler: str = "auto"
     # run Pallas kernels in interpret mode (CPU debugging/parity only)
     interpret: bool = False
+    # static upper bound on the RUNTIME patch_scale_factor tweak: the
+    # Pallas sampler canvas only carries mip levels reachable at this
+    # bound (level = floor(log2(size * psf / 32)); a runtime psf beyond
+    # the bound clamps to the deepest carried level).  The default mip
+    # chain (ceil(log2(min(H, W))) = 9 levels at 640x480) carried 3
+    # never-addressable levels of full-size bf16 phase planes — dead
+    # HBM writes every frame.
+    max_patch_scale_factor: float = C.DEFAULT_PATCH_SCALE_FACTOR
 
 
 def _use_pallas(cfg: "FrontendConfig") -> bool:
@@ -198,10 +207,27 @@ def detect_extract(
 
 def _finish_extract(coarse, blobs, kps, cfg, pca_mean, pca_proj,
                     patch_scale_factor, extent=None) -> FrontendResult:
-    mips = patch_pyramid_mips(coarse, extent=extent)
+    use_pallas = _use_pallas(cfg)
+    n_lv = None
+    if use_pallas:
+        # cap the mip chain at the deepest REACHABLE level: every
+        # canvas level costs N_PHASE full-size bf16 planes of HBM
+        # writes per frame, and levels beyond
+        # floor(log2(max_size * psf / 32)) can never be addressed
+        # (max blob size is a static function of n_scales:
+        # 0.82 * sqrt(2) * 2^(n_scales + 1.5))
+        from .pyramid import pyramid_levels_for
+
+        max_size = (C.DOG_FIRST_SCALE_SIGMA * C.DOG_SIGMA_RADIUS_FACTOR
+                    * 2.0 ** (cfg.n_scales + 1.5))
+        l_need = 1 + int(np.floor(np.log2(max(
+            max_size * cfg.max_patch_scale_factor / C.PATCH_SIZE, 1.0))))
+        n_lv = max(2, min(l_need,
+                          pyramid_levels_for(*coarse.shape[1:])))
+    mips = patch_pyramid_mips(coarse, n_levels=n_lv, extent=extent)
     if extent is not None:
         act_h, act_w = mip_extents(extent[0], extent[1], len(mips))
-    if _use_pallas(cfg):
+    if use_pallas:
         from ..pallas.sampling import (build_canvas, sample_patches_pallas,
                                        window_sort_key)
 

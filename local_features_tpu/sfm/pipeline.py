@@ -430,7 +430,7 @@ def reconstruct_sequence_batched(
     blocks, c_win, bstats = build_track_blocks_flat(
         flat, uv, X0, F, c_blk=c_blk, halo=halo, max_obs=max_obs,
         n_blocks_multiple=(mesh.devices.size if mesh is not None else 1),
-        assign="mid", subsample="even")
+        assign="mid", subsample="merge")
     stats.update(bstats)
 
     # anchor the keyframe cameras during the dense BA: the keyframe

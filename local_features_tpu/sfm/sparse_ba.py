@@ -73,6 +73,10 @@ class TrackBlocks(NamedTuple):
     X: jnp.ndarray          # [B, T, 3] f32 landmark positions
     tvalid: jnp.ndarray     # [B, T] bool track slot in use
     win_start: jnp.ndarray  # [B] i32 global index of window camera 0
+    # sqrt-information weight per obs slot (default 1): a slot holding
+    # the MERGED mean of n raw observations carries sqrt(n) — see
+    # tracks.build_track_blocks_flat(subsample="merge")
+    wobs: jnp.ndarray | None = None
 
 
 class SparseBAResult(NamedTuple):
@@ -183,6 +187,10 @@ def triangulate_blocks(R, t, blocks: TrackBlocks, intr, c_win):
     R_sel = jnp.einsum("btkw,bwij->btkij", onehot, R_win, precision=_HI)
     t_sel = jnp.einsum("btkw,bwi->btki", onehot, t_win, precision=_HI)
 
+    if blocks.wobs is not None:
+        # merged observations weigh their DLT rows by sqrt(n) (the
+        # normal equations then carry n, matching the BA weighting)
+        w = w * blocks.wobs
     xn = (blocks.uv[..., 0] - intr[2]) / intr[0]
     yn = (blocks.uv[..., 1] - intr[3]) / intr[1]
     r1, r2, r3 = R_sel[..., 0, :], R_sel[..., 1, :], R_sel[..., 2, :]
@@ -232,7 +240,10 @@ def filter_block_outliers(R, t, blocks: TrackBlocks, intr, c_win,
     z_med = jnp.nanmedian(jnp.where(w & (z > 0), z, jnp.nan))
     z_min = min_depth_frac * jnp.nan_to_num(z_med, nan=1.0)
 
-    _, r, *_ = _obs_terms(R, t, blocks, intr, c_win, None)
+    # PHYSICAL residual gate: strip the wobs scale (a sqrt(n)-weighted
+    # merged observation must be gated at the same pixel threshold)
+    _, r, *_ = _obs_terms(R, t, blocks._replace(wobs=None), intr, c_win,
+                          None)
     ok = ((jnp.linalg.norm(r, axis=-1) <= max_px) & (z > z_min)
           & blocks.valid)
     tvalid = blocks.tvalid & (jnp.sum(ok, axis=-1) >= 2)
@@ -303,11 +314,16 @@ def _obs_terms(R, t, blocks: TrackBlocks, intr, c_win, huber_delta):
     if huber_delta is not None:
         # IRLS sqrt-weighting (same scheme as ba.py:lm_bundle_adjust).
         # onehot stays BINARY: Jc/Jp carry hw via duv and r carries hw,
-        # so accumulations match the dense path's hw^2 exactly.
+        # so accumulations match the dense path's hw^2 exactly.  The
+        # Huber threshold applies to the PHYSICAL residual — before the
+        # wobs sqrt-information scale below.
         rn = jnp.linalg.norm(r, axis=-1)
         hw = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-9)))
         w = w * hw
         r = r * hw[..., None]
+    if blocks.wobs is not None:
+        w = w * blocks.wobs
+        r = r * blocks.wobs[..., None]
 
     x, y = Xc[..., 0], Xc[..., 1]
     fx, fy = intr[0], intr[1]
@@ -396,17 +412,23 @@ def sparse_bundle_adjust(
         smaller than an outlier's growth, and a raw-cost accept test
         then rejects every step (measured on the keyframe-BA problem:
         cost history flat for 40 iterations with huber_delta=2, smooth
-        convergence with the robust accept test)."""
-        on, r, *_ = _obs_terms(Rg, tg, blk, intr, c_win, None)
-        n = allsum(jnp.sum(blk.valid & blk.tvalid[..., None]))
+        convergence with the robust accept test).  Huber acts on the
+        PHYSICAL residual; merged observations then weigh in with
+        their wobs^2 = n raw-observation multiplicity."""
+        on, r, *_ = _obs_terms(Rg, tg, blk._replace(wobs=None), intr,
+                               c_win, None)
+        w2 = (blk.valid & blk.tvalid[..., None]).astype(jnp.float32)
+        if blk.wobs is not None:
+            w2 = w2 * blk.wobs * blk.wobs
+        n = allsum(jnp.sum(w2))
         if huber_delta is None:
-            s = allsum(jnp.sum(r * r))
+            s = allsum(jnp.sum(w2 * jnp.sum(r * r, axis=-1)))
         else:
             rn = jnp.linalg.norm(r, axis=-1)   # 0 at masked slots
-            s = allsum(jnp.sum(jnp.where(
+            s = allsum(jnp.sum(w2 * jnp.where(
                 rn <= huber_delta, rn * rn,
                 huber_delta * (2.0 * rn - huber_delta))))
-        return s / jnp.maximum(n.astype(jnp.float32), 1.0)
+        return s / jnp.maximum(n, 1.0)
 
     def lm_step(carry, _):
         Rg, tg, X, lam, nu = carry
@@ -549,9 +571,9 @@ def sparse_bundle_adjust(
                        jnp.minimum(nu * 2.0, 64.0))
         return (Rg, tg, X, lam, nu), jnp.where(accept, c_new, c_old)
 
-    def run(Rg, tg, uv, cam, valid, X, tvalid, win_start):
+    def run(Rg, tg, uv, cam, valid, X, tvalid, win_start, wobs):
         nonlocal blocks
-        blocks = TrackBlocks(uv, cam, valid, X, tvalid, win_start)
+        blocks = TrackBlocks(uv, cam, valid, X, tvalid, win_start, wobs)
         (Rg, tg, X, _, _), hist = jax.lax.scan(
             lm_step, (Rg, tg, blocks.X, jnp.float32(lam0),
                       jnp.float32(2.0)), None,
@@ -565,7 +587,7 @@ def sparse_bundle_adjust(
         shard = functools.partial(
             jax.shard_map, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                      P(axis)),
+                      P(axis), P(axis)),
             out_specs=(P(), P(), P(axis), P(), P()),
             check_vma=False,
         )
@@ -574,7 +596,10 @@ def sparse_bundle_adjust(
         fn = jax.jit(run)
 
     orig = blocks
+    if orig.wobs is None:
+        orig = orig._replace(
+            wobs=jnp.ones(orig.valid.shape, jnp.float32))
     Rg, tg, X, cost, hist = fn(R, t, orig.uv, orig.cam, orig.valid, orig.X,
-                               orig.tvalid, orig.win_start)
+                               orig.tvalid, orig.win_start, orig.wobs)
     return SparseBAResult(R=Rg, t=tg, blocks=orig._replace(X=X), cost=cost,
                           cost_history=hist)

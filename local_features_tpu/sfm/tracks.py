@@ -191,7 +191,7 @@ def build_track_blocks_flat(
     base = np.zeros(N, np.int64)
     base[seen] = csum[seg]
     rank = csum - base[tid]                                      # [O]
-    if subsample == "even":
+    if subsample in ("even", "merge"):
         # evenly-spaced selection of max_obs of the n_kept in-window
         # observations: an obs with in-window rank r survives iff
         # floor(r * K / n_kept) > floor((r-1) * K / n_kept), i.e. it is
@@ -202,15 +202,23 @@ def build_track_blocks_flat(
         np.add.at(n_kept, tid[keep], 1)
         nk = np.maximum(n_kept[tid], 1)
         cell = rank * max_obs // nk
-        cell_prev = np.where(rank > 0, (rank - 1) * max_obs // nk, -1)
-        sel = keep & (cell > cell_prev)
-        csum2 = np.cumsum(sel) - sel
-        base2 = np.zeros(N, np.int64)
-        base2[seen] = csum2[seg]
-        keep_k = sel
-        rank = csum2 - base2[tid]
+        if subsample == "even":
+            cell_prev = np.where(rank > 0,
+                                 (rank - 1) * max_obs // nk, -1)
+            sel = keep & (cell > cell_prev)
+            csum2 = np.cumsum(sel) - sel
+            base2 = np.zeros(N, np.int64)
+            base2[seen] = csum2[seg]
+            keep_k = sel
+            rank = csum2 - base2[tid]
+        else:
+            # "merge": every in-window obs participates; same-cell obs
+            # are AVERAGED into one sqrt(n)-weighted measurement below
+            keep_k = keep
     else:
         keep_k = keep & (rank < max_obs)
+    # in merge mode keep_k == keep, so kept_per_track counts in-window
+    # obs and the >= 2 track gate below is exactly ">= 2 raw obs"
     kept_per_track = np.zeros(N, np.int64)
     np.add.at(kept_per_track, tid[keep_k], 1)
     # NOTE: the loop builder counts "kept minus K" overflow from the
@@ -242,8 +250,9 @@ def build_track_blocks_flat(
     dropped_tracks = int(np.maximum(n_per_block - T, 0).sum())
     dropped_tracks += int((present & in_cap & (kept_per_track < 2)).sum())
     dropped_obs = int((~keep & (present & in_cap)[tid]).sum())
-    dropped_obs += int(np.maximum(
-        win_kept[present & in_cap] - max_obs, 0).sum())
+    if subsample != "merge":
+        dropped_obs += int(np.maximum(
+            win_kept[present & in_cap] - max_obs, 0).sum())
 
     uv = np.zeros((n_blocks, T, max_obs, 2), np.float32)
     camo = np.zeros((n_blocks, T, max_obs), np.int32)
@@ -252,12 +261,38 @@ def build_track_blocks_flat(
     tvalid = np.zeros((n_blocks, T), bool)
     win_start = np.clip(np.arange(n_blocks) * c_blk - halo, 0,
                         n_cameras - c_win).astype(np.int32)
+    wobs = None
 
     sc = keep_k & ok[tid]
-    bi, si, ki = b_of[tid[sc]], slot[tid[sc]], rank[sc]
-    uv[bi, si, ki] = obs_uv[sc]
-    camo[bi, si, ki] = (cam[sc] - ws_of[tid[sc]]).astype(np.int32)
-    valid[bi, si, ki] = True
+    if subsample == "merge":
+        # average same-cell observations into one measurement per slot:
+        # uv = mean, cam = rounded mean window-local index, weight =
+        # sqrt(n) (sqrt-information: the BA's normal equations then
+        # carry the full multiplicity n).  Dense video makes
+        # consecutive observations of a track near-duplicates (flow
+        # ~0.05 px/frame at 10k frames vs ~0.4 px detection noise);
+        # averaging keeps their noise-reduction value without paying
+        # a K slot per raw obs.  Bias from motion within a cell is
+        # second-order (linear flow cancels around the cell center).
+        bi, si, ki = b_of[tid[sc]], slot[tid[sc]], cell[sc]
+        cnt = np.zeros((n_blocks, T, max_obs), np.float64)
+        uv_acc = np.zeros((n_blocks, T, max_obs, 2), np.float64)
+        cam_acc = np.zeros((n_blocks, T, max_obs), np.float64)
+        np.add.at(cnt, (bi, si, ki), 1.0)
+        np.add.at(uv_acc, (bi, si, ki), obs_uv[sc].astype(np.float64))
+        np.add.at(cam_acc, (bi, si, ki),
+                  (cam[sc] - ws_of[tid[sc]]).astype(np.float64))
+        valid = cnt > 0
+        denom = np.maximum(cnt, 1.0)
+        uv = (uv_acc / denom[..., None]).astype(np.float32)
+        camo = np.clip(np.rint(cam_acc / denom), 0,
+                       c_win - 1).astype(np.int32)
+        wobs = np.sqrt(cnt).astype(np.float32)
+    else:
+        bi, si, ki = b_of[tid[sc]], slot[tid[sc]], rank[sc]
+        uv[bi, si, ki] = obs_uv[sc]
+        camo[bi, si, ki] = (cam[sc] - ws_of[tid[sc]]).astype(np.int32)
+        valid[bi, si, ki] = True
     tvalid[b_of[ok], slot[ok]] = True
     X[b_of[ok], slot[ok]] = np.asarray(track_X, np.float32)[ok]
 
@@ -265,9 +300,12 @@ def build_track_blocks_flat(
         uv=jnp.asarray(uv), cam=jnp.asarray(camo), valid=jnp.asarray(valid),
         X=jnp.asarray(X), tvalid=jnp.asarray(tvalid),
         win_start=jnp.asarray(win_start),
+        wobs=None if wobs is None else jnp.asarray(wobs),
     )
     stats = {"n_blocks": n_blocks, "capacity": T, "c_win": c_win,
              "dropped_obs": dropped_obs, "dropped_tracks": dropped_tracks}
+    if subsample == "merge":
+        stats["merged_obs"] = int(sc.sum() - valid.sum())
     return blocks, c_win, stats
 
 

@@ -35,13 +35,19 @@ def cache_path(frames: int) -> str:
 def load_cache(frames: int):
     """(xs, ys, pair_matches, R_gt, t_gt, intr) from the npz cache.
 
-    xs/ys: list of [k_f] arrays; pair_matches: list of [M_p, 2]."""
+    xs/ys: list of [k_f] arrays; pair_matches: list of [M_p, 2].
+    NOTE: npz members must be extracted ONCE before slicing per frame —
+    `d["name"]` decompresses the whole member on every access, and a
+    per-frame access pattern turns a 1 GB cache into an hours-long,
+    tens-of-GB decompression loop (measured at 10k frames)."""
     d = np.load(cache_path(frames))
     ko = d["kp_offsets"]
-    xs = [d["kp_x"][ko[i]:ko[i + 1]] for i in range(len(ko) - 1)]
-    ys = [d["kp_y"][ko[i]:ko[i + 1]] for i in range(len(ko) - 1)]
+    kx, ky = d["kp_x"], d["kp_y"]
+    xs = [kx[ko[i]:ko[i + 1]] for i in range(len(ko) - 1)]
+    ys = [ky[ko[i]:ko[i + 1]] for i in range(len(ko) - 1)]
     mo = d["match_offsets"]
-    pm = [d["matches"][mo[i]:mo[i + 1]] for i in range(len(mo) - 1)]
+    ms = d["matches"]
+    pm = [ms[mo[i]:mo[i + 1]] for i in range(len(mo) - 1)]
     return xs, ys, pm, d["R_gt"], d["t_gt"], d["intr"]
 
 
@@ -64,10 +70,12 @@ def load_cache_feats(frames: int):
     d = np.load(cache_path(frames))
     ko = d["kp_offsets"]
     desc = d["desc"]
-    feats = [_Feat(d["kp_x"][ko[i]:ko[i + 1]], d["kp_y"][ko[i]:ko[i + 1]],
+    kx, ky = d["kp_x"], d["kp_y"]     # extract ONCE (see load_cache)
+    feats = [_Feat(kx[ko[i]:ko[i + 1]], ky[ko[i]:ko[i + 1]],
                    desc[ko[i]:ko[i + 1]]) for i in range(len(ko) - 1)]
     mo = d["match_offsets"]
-    pm = [d["matches"][mo[i]:mo[i + 1]] for i in range(len(mo) - 1)]
+    ms = d["matches"]
+    pm = [ms[mo[i]:mo[i + 1]] for i in range(len(mo) - 1)]
     return feats, pm, d["R_gt"], d["t_gt"], d["intr"]
 
 

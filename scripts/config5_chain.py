@@ -54,8 +54,8 @@ def main():
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--f", type=float, default=260.0)
     ap.add_argument("--max-features", type=int, default=500)
-    ap.add_argument("--ba-iters", type=int, default=10)
-    ap.add_argument("--ba-rounds", type=int, default=2)
+    ap.add_argument("--ba-iters", type=int, default=8)
+    ap.add_argument("--ba-rounds", type=int, default=3)
     ap.add_argument("--cg-iters", type=int, default=12)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -112,31 +112,40 @@ def main():
     Rs, ts, X0, istats = initialize_sequence(feats, pair_matches, intr,
                                              flat, seed=1,
                                              kf_stride="auto")
-    clock.lap("pose_init", **istats)
+    keyframes = istats.pop("keyframes", None)
+    clock.lap("pose_init", **{k: v for k, v in istats.items()
+                              if k != "kf_ba_cost_history"})
 
     blocks, c_win, bstats = build_track_blocks_flat(
-        flat, uv, X0, F, c_blk=32, halo=16, max_obs=8, n_blocks_multiple=8)
+        flat, uv, X0, F, c_blk=32, halo=16, max_obs=12,
+        n_blocks_multiple=8, assign="mid", subsample="merge")
     bstats = dict(bstats,
                   block_shape=[int(blocks.uv.shape[0]),
                                int(blocks.uv.shape[1])])
     clock.lap("block_packing", **bstats)
 
+    # keyframe anchors + annealed gate/huber + merge weights + smooth
+    # damping — same flow as pipeline.reconstruct_sequence_batched
+    fixed = None
+    if keyframes is not None and len(keyframes) >= 2:
+        fixed = np.zeros(F, bool)
+        fixed[np.asarray(keyframes, np.int64)] = True
     Rj, tj, intr_j = jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(intr)
     n_dev = len(jax.devices())
     mesh = Mesh(np.array(jax.devices()), ("map",))
     hist = []
-    # alternating triangulate -> gate -> LM rounds (see pipeline.py:
-    # reconstruct_sequence_batched — measured lower basin at 1k frames)
-    for _ in range(args.ba_rounds):
-        X_tri = triangulate_blocks(Rj, tj, blocks, intr_j, c_win)
-        blocks = blocks._replace(X=X_tri)
+    blocks0 = blocks
+    for r in range(args.ba_rounds):
+        X_tri = triangulate_blocks(Rj, tj, blocks0, intr_j, c_win)
+        blocks = blocks0._replace(X=X_tri)
         blocks = filter_block_outliers(Rj, tj, blocks, intr_j, c_win,
-                                       max_px=30.0)
+                                       max_px=30.0 * 0.35 ** r)
         res = sparse_bundle_adjust(Rj, tj, blocks, intr_j, c_win,
                                    mesh=mesh, axis="map",
                                    n_iters=args.ba_iters,
                                    cg_iters=args.cg_iters,
-                                   huber_delta=2.0)
+                                   huber_delta=2.0 * 0.35 ** r,
+                                   fixed_cams=fixed, smooth_weight=10.0)
         Rj, tj, blocks = res.R, res.t, res.blocks
         hist += [round(float(h), 4) for h in np.asarray(res.cost_history)]
     clock.lap("sparse_ba", n_devices=n_dev, ba_rounds=args.ba_rounds,
@@ -182,9 +191,9 @@ def main():
                 np.asarray(a).nbytes for a in blocks) / 1e6, 1),
         },
         "accuracy": {
-            "ate_rmse_init": round(ate_init, 4),
-            "ate_rmse_ba": round(ate, 4),
-            "ate_pct_of_trajectory": round(100 * ate / traj_len, 2),
+            "ate_rmse_init": round(ate_init, 7),
+            "ate_rmse_ba": round(ate, 7),
+            "ate_pct_of_trajectory": round(100 * ate / traj_len, 4),
             "ba_cost_history": hist,
         },
         "host_glue": {

@@ -246,3 +246,74 @@ def test_block_builder_mid_even_options():
                 # spread: max gap bounded by ~2x the even spacing
                 assert gaps.max() <= max(2 * (fr[-1] - fr[0]) // max(
                     n_in - 1, 1) + 2, 3)
+
+
+def test_block_builder_merge_weighted():
+    """subsample="merge": every in-window observation is represented —
+    slot uv is the mean of its cell's raw obs, weight is sqrt(count),
+    total weighted multiplicity equals the in-window obs count, and
+    dropped_obs counts ONLY window-clipped observations."""
+    import numpy as np
+
+    from local_features_tpu.sfm.tracks import (FlatTracks,
+                                               build_track_blocks_flat)
+
+    rng = np.random.default_rng(3)
+    F = 100
+    tids, frames = [], []
+    for t in range(12):
+        start = int(rng.integers(0, 40))
+        length = int(rng.integers(2, 60))
+        tids += [t] * length
+        frames += list(range(start, min(start + length, F)))
+    tids = np.asarray(tids, np.int64)
+    frames = np.asarray(frames, np.int32)[: len(tids)]
+    order = np.lexsort((frames, tids))
+    flat = FlatTracks(tid=tids[order], frame=frames[order],
+                      kp=np.zeros(len(tids), np.int32), n_tracks=12)
+    uv = rng.random((len(flat.tid), 2)).astype(np.float32)
+    X0 = rng.random((12, 3)).astype(np.float32)
+
+    K = 6
+    blocks, c_win, stats = build_track_blocks_flat(
+        flat, uv, X0, F, c_blk=32, halo=16, max_obs=K,
+        assign="mid", subsample="merge")
+    valid = np.asarray(blocks.valid)
+    wobs = np.asarray(blocks.wobs)
+    cam = np.asarray(blocks.cam)
+    ws = np.asarray(blocks.win_start)
+    # weighted multiplicity == number of in-window raw obs
+    n_inwin = len(flat.tid) - stats["dropped_obs"]
+    assert int((wobs[valid] ** 2).round().sum()) == n_inwin
+    assert stats["merged_obs"] == n_inwin - int(valid.sum())
+    # per-slot uv equals the mean of the cell's raw observations
+    # (reconstruct per-track windows by brute force)
+    for t in range(12):
+        m = flat.tid == t
+        fr = flat.frame[m].astype(np.int64)
+        first, last = fr.min(), fr.max()
+        b = min(((first + last) // 2) // 32, valid.shape[0] - 1)
+        w0 = int(np.clip(b * 32 - 16, 0, F - c_win))
+        inwin = (fr >= w0) & (fr < w0 + c_win)
+        nk = int(inwin.sum())
+        if nk < 2:
+            continue
+        ranks = np.arange(nk)
+        cells = ranks * K // nk
+        uv_t = uv[m][inwin]
+        # find the slot of this track: the one whose weighted count sums
+        # to nk in block b
+        got = False
+        for s in range(valid.shape[1]):
+            if not np.asarray(blocks.tvalid)[b, s]:
+                continue
+            if int((wobs[b, s][valid[b, s]] ** 2).round().sum()) != nk:
+                continue
+            exp_uv = np.stack([uv_t[cells == c].mean(0)
+                               for c in np.unique(cells)])
+            got_uv = np.asarray(blocks.uv)[b, s][valid[b, s]]
+            if got_uv.shape == exp_uv.shape and np.allclose(
+                    got_uv, exp_uv, atol=1e-5):
+                got = True
+                break
+        assert got, f"track {t}: no slot with matching merged uv"
