@@ -95,6 +95,17 @@ def match_descriptors(
                    scores=best, mask=mask)
 
 
+def _top2_axis0(sim: jnp.ndarray):
+    """(best, second, argbest) along axis 0 — same tie rules as _top2,
+    without materializing sim.T (an [N, N] relayout per call)."""
+    ibest = jnp.argmax(sim, axis=0)
+    best = jnp.max(sim, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+    second = jnp.max(
+        jnp.where(rows == ibest[None, :], -jnp.inf, sim), axis=0)
+    return best, second, ibest.astype(jnp.int32)
+
+
 def mutual_match(
     desc_a: jnp.ndarray,
     desc_b: jnp.ndarray,
@@ -110,7 +121,7 @@ def mutual_match(
         sim = jnp.where(valid_b[None, :], sim, -jnp.inf)
 
     best_ab, second_ab, a_best = _top2(sim)
-    best_ba, second_ba, b_best = _top2(sim.T)
+    best_ba, second_ba, b_best = _top2_axis0(sim)
 
     mask_ab = best_ab * ratio > second_ab
     mask_ba = best_ba * ratio > second_ba

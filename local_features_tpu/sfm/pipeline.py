@@ -398,6 +398,8 @@ def reconstruct_sequence_batched(
                                              flat, seed=seed,
                                              kf_stride=kf_stride)
     keyframes = istats.pop("keyframes", None)
+    istats.pop("interp_chain_R", None)
+    istats.pop("interp_chain_t", None)
     stats.update(istats)
 
     if loop_closure:

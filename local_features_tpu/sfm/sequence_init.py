@@ -498,6 +498,14 @@ def initialize_sequence(feats, pair_matches, intr, flat: FlatTracks,
                 tk = np.asarray(tk2, np.float32)
                 corrected = True
         if kf_ba and len(kf) >= 6:
+            # pre-BA trajectory for honest stage attribution: the
+            # keyframe BA below IS bundle adjustment (it runs
+            # sparse_bundle_adjust); artifacts report ATE at this
+            # boundary as "init" and everything after as the BA
+            # layer's gain.  Callers not JSON-ing arrays can pop it.
+            R_pre, t_pre = interpolate_poses(Rk, tk, kf, F)
+            stats["interp_chain_R"] = R_pre
+            stats["interp_chain_t"] = t_pre
             # KEYFRAME bundle adjustment before interpolation: the
             # trajectory's remaining low-frequency error (chained-pair
             # drift, interpolation sag) lives at keyframe scale, where

@@ -50,13 +50,26 @@ def run_bench():
                             + jnp.sum(res.x) + jnp.sum(res.angle))
         return imgs + feedback
 
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    base = (np.sin(xx / 7.0) * np.cos(yy / 9.0)
-            + 0.5 * np.sin(xx / 23.0 + 1.0) * np.cos(yy / 17.0))
-    imgs = jnp.asarray(np.stack([
-        0.5 + 0.25 * base + 0.1 * rng.standard_normal((H, W))
-        for _ in range(B)]).astype(np.float32))
+    if os.environ.get("LF_BENCH_IMAGE", "") in ("1", "houses"):
+        # real-image workload (~1300 valid kp/frame vs synth ~730) —
+        # same crop construction as bench.py
+        from PIL import Image
+        pil = Image.open(os.path.join(os.path.dirname(__file__), "..",
+                                      "sample_data", "houses.jpg")
+                         ).convert("L")
+        sy, sx = 32, 32
+        full = np.asarray(pil.resize((W + sx * (B - 1), H + sy * (B - 1)),
+                                     Image.LANCZOS), np.float32) / 255.0
+        imgs = jnp.asarray(np.stack([
+            full[i * sy:i * sy + H, i * sx:i * sx + W] for i in range(B)]))
+    else:
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        base = (np.sin(xx / 7.0) * np.cos(yy / 9.0)
+                + 0.5 * np.sin(xx / 23.0 + 1.0) * np.cos(yy / 17.0))
+        imgs = jnp.asarray(np.stack([
+            0.5 + 0.25 * base + 0.1 * rng.standard_normal((H, W))
+            for _ in range(B)]).astype(np.float32))
 
     x = step(imgs)
     _ = np.asarray(jnp.sum(x))

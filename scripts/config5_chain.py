@@ -113,6 +113,8 @@ def main():
                                              flat, seed=1,
                                              kf_stride="auto")
     keyframes = istats.pop("keyframes", None)
+    R_chain = istats.pop("interp_chain_R", Rs)
+    t_chain = istats.pop("interp_chain_t", ts)
     clock.lap("pose_init", **{k: v for k, v in istats.items()
                               if k != "kf_ba_cost_history"})
 
@@ -162,7 +164,14 @@ def main():
         with_scale=True))
     traj_len = float(np.linalg.norm(np.diff(centers_gt, axis=0),
                                     axis=1).sum())
+    # stage boundaries: "init" = sim3-corrected chained pairwise poses,
+    # spline-interpolated, BEFORE any bundle adjustment; "kf_ba" = after
+    # the keyframe-level BA inside initialize_sequence (it runs the
+    # same sparse_bundle_adjust); "ba" = after the dense blocked BA.
     ate_init = float(absolute_trajectory_error(
+        jnp.asarray(np.einsum("cji,cj->ci", R_chain, -t_chain)),
+        jnp.asarray(centers_gt), with_scale=True))
+    ate_kf_ba = float(absolute_trajectory_error(
         jnp.asarray(np.einsum("cji,cj->ci", Rs, -ts)),
         jnp.asarray(centers_gt), with_scale=True))
 
@@ -192,6 +201,7 @@ def main():
         },
         "accuracy": {
             "ate_rmse_init": round(ate_init, 7),
+            "ate_rmse_after_keyframe_ba": round(ate_kf_ba, 7),
             "ate_rmse_ba": round(ate, 7),
             "ate_pct_of_trajectory": round(100 * ate / traj_len, 4),
             "ba_cost_history": hist,
