@@ -303,6 +303,115 @@ class LocalFeatures:
             out.extend(self._fetch_batch(*pending))
         return out
 
+    def detect_match_sequence(
+        self, frames: np.ndarray, n: int | None = None,
+        min_size: float = 0.0, batch: int = 8, ratio: float = 0.8,
+    ) -> tuple[list[FeaturesResult], list[np.ndarray]]:
+        """Fused sequence front-end + consecutive mutual matching with
+        descriptors KEPT ON DEVICE: returns (features, pair_matches)
+        where pair_matches[f] is [M, 2] (kp of frame f, kp of frame
+        f+1) — identical to running detect_sequence followed by
+        ops.matching.match_consecutive (CPU-pinned by
+        tests/test_api.py::test_detect_match_sequence_equals_serial).
+
+        Motivation (SEQ_TPU_r04/r05 measurements): the split path
+        fetches [B, max_features, 128] f32 descriptors per batch and
+        re-uploads them for matching — ~8 MB per batch each way
+        through a remote-TPU tunnel whose effective bandwidth is
+        ~20 MB/s, making the sequence path BANDWIDTH-bound at ~13
+        frames/s while the same executables sustain 222 inside the
+        dependency-chained bench.  Matching on device drops the
+        transfer to keypoint arrays + match indices (~0.4 MB/batch,
+        20x less); the loop is software-pipelined one batch deep on
+        top (dispatch k+1, then fetch k).
+
+        The cross-batch seam pair (last frame of batch k, first frame
+        of batch k+1) is matched on device too: the previous batch's
+        final descriptor row is carried as device state.
+        """
+        from .ops.matching import mutual_match
+
+        frames = np.asarray(frames, dtype=np.float32)
+        F = frames.shape[0]
+        if F == 0:
+            return [], []
+        if F == 1:
+            return self.detect_batch(frames, n, min_size), []
+        batch = max(1, min(int(batch), F))
+
+        mkey = ("seqmatch", batch, self.max_features, float(ratio))
+        if mkey not in self._jit_cache:
+            def _match_block(desc, valid, prev_desc, prev_valid,
+                             has_prev):
+                # pairs: (prev, 0) then (0, 1) ... (B-2, B-1)
+                da = jnp.concatenate([prev_desc[None], desc[:-1]], axis=0)
+                va = jnp.concatenate([prev_valid[None] & has_prev,
+                                      valid[:-1]], axis=0)
+                m = jax.vmap(
+                    lambda a, b, x, y: mutual_match(a, b, x, y,
+                                                    ratio=ratio)
+                )(da, desc, va, valid)
+                return m.indices, m.mask, desc[-1], valid[-1]
+
+            self._jit_cache[mkey] = jax.jit(_match_block)
+
+        def _dispatch(chunk):
+            pad = batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            return self._dispatch_batch(chunk, n, min_size), batch - pad
+
+        feats: list[FeaturesResult] = []
+        pair_matches: list[np.ndarray] = []
+        K = self.max_features
+        prev_desc = jnp.zeros((K, 128), jnp.float32)
+        prev_valid = jnp.zeros((K,), bool)
+        has_prev = jnp.zeros((), bool)
+        pending = None    # (res, keep, match_idx, match_mask, first_keep)
+        first = True
+        for s in range(0, F, batch):
+            res, keep = _dispatch(frames[s: s + batch])
+            idx, mask, prev_desc, prev_valid = self._jit_cache[mkey](
+                res.descriptors, res.valid, prev_desc, prev_valid,
+                has_prev)
+            has_prev = jnp.ones((), bool)
+            if pending is not None:
+                self._drain_seqmatch(pending, feats, pair_matches)
+            pending = (res, keep, idx, mask, first)
+            first = False
+        self._drain_seqmatch(pending, feats, pair_matches)
+        # matches were emitted per block as [seam, intra...]; drop the
+        # lead seam of block 0 (no predecessor) — handled by first_keep
+        return feats, pair_matches
+
+    def _drain_seqmatch(self, pending, feats, pair_matches):
+        """ONE host fetch for a (frontend result, match block) pair;
+        appends per-frame features and per-pair [M, 2] match arrays."""
+        res, keep, idx, mask, is_first = pending
+        host = jax.device_get(
+            (res.x, res.y, res.size, res.angle, res.response, res.valid,
+             res.n_keypoints, res.dropped_blobs, res.dropped_features,
+             idx, mask))
+        (x, y, size, angle, resp, valid, nk, db, df, idx, mask) = host
+        B = x.shape[0]
+        for b in range(keep):
+            nb = int(nk[b])
+            kp = np.stack([x[b][:nb], y[b][:nb], size[b][:nb],
+                           angle[b][:nb], resp[b][:nb]],
+                          axis=1).astype(np.float32)
+            feats.append(FeaturesResult(
+                keypoints_array=kp,
+                descriptors=None,
+                dropped_blobs=int(db[b]), dropped_features=int(df[b])))
+            # pair (b-1, b) of this block = match row b (row 0 is the
+            # cross-batch seam pair; skipped for the very first block)
+            if b == 0 and is_first:
+                continue
+            rows = np.flatnonzero(mask[b])
+            pair_matches.append(
+                np.stack([rows, idx[b][rows]], axis=1).astype(np.int64))
+
     def _run(self, img, top_n, min_size, all_blobs) -> FeaturesResult:
         img = np.asarray(img, dtype=np.float32)
         if img.ndim != 2:

@@ -59,6 +59,23 @@ def main():
 
     lf = LocalFeatures(max_features=args.max_features)
     results = []
+    # fused on-device matching: descriptors never leave the device
+    # (the split path is tunnel-BANDWIDTH-bound: ~8 MB of padded
+    # descriptors per batch at ~20 MB/s effective — api.py
+    # detect_match_sequence docstring)
+    for fused_batch in (8, 16):
+        lf.detect_match_sequence(frames[: 2 * fused_batch],
+                                 args.max_features, batch=fused_batch)
+        t0 = time.perf_counter()
+        feats_f, pm_f = lf.detect_match_sequence(frames, args.max_features,
+                                                 batch=fused_batch)
+        t_fused = time.perf_counter() - t0
+        results.append({
+            "config": f"fused on-device matching, batch={fused_batch}",
+            "total_s": round(t_fused, 2),
+            "frames_per_s": round(F / t_fused, 1),
+            "matches_total": int(sum(len(m) for m in pm_f))})
+        print(json.dumps(results[-1]), flush=True)
     for fe_batch, m_batch in ((8, 8), (16, 32)):
         # warm both executables (compile excluded from timing)
         lf.detect_sequence(frames[: 2 * fe_batch], args.max_features,

@@ -107,3 +107,31 @@ def test_sampler_auto_resolves_by_backend():
     assert _use_pallas(FrontendConfig(sampler="xla")) is False
     with pytest.raises(ValueError):
         _use_pallas(FrontendConfig(sampler="cuda"))
+
+
+def test_detect_match_sequence_equals_serial(test_image):
+    """Fused on-device sequence matching == detect_sequence followed by
+    match_consecutive (keypoints, counts, and every pair's match set),
+    including the cross-batch seam pairs and a padded tail batch."""
+    from local_features_tpu.ops.matching import (match_consecutive,
+                                                 pad_descriptor_sequence)
+
+    rng = np.random.default_rng(9)
+    frames = np.stack([
+        np.clip(test_image + 0.02 * rng.standard_normal(test_image.shape),
+                0, 1).astype(np.float32)
+        for _ in range(7)
+    ])
+    lf = LocalFeatures(max_features=128, max_blobs=512, n_scales=4)
+    feats_ref = lf.detect_sequence(frames, 128, batch=3)
+    descs, dvalid = pad_descriptor_sequence(feats_ref,
+                                            capacity=lf.max_features)
+    pm_ref = match_consecutive(descs, dvalid)
+
+    feats, pm = lf.detect_match_sequence(frames, 128, batch=3)
+    assert len(feats) == 7 and len(pm) == 6
+    for f in range(7):
+        np.testing.assert_allclose(feats[f].x, feats_ref[f].x, atol=1e-5)
+        assert len(feats[f]) == len(feats_ref[f])
+    for p in range(6):
+        np.testing.assert_array_equal(pm[p], pm_ref[p])
