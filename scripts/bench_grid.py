@@ -142,6 +142,16 @@ def main():
         load = open_houses
         src = "houses.jpg"
 
+    def _timed(img, feats_n, ns):
+        # the remote TPU compiler occasionally drops a connection
+        # mid-compile ("response body closed"); retry once before
+        # giving up on the whole grid
+        try:
+            return time_config(img, feats_n, ns, iters, samples)
+        except Exception as e:     # noqa: BLE001 - transport flake
+            print(json.dumps({"retry": str(e)[:120]}), flush=True)
+            return time_config(img, feats_n, ns, iters, samples)
+
     def _stats(per_sample_s, config):
         import numpy as np
         ms = np.asarray(per_sample_s) * 1e3
@@ -164,7 +174,7 @@ def main():
         for s in scales:
             img = load(s)
             H, W = img.shape
-            ts = time_config(img, top, ns, iters, samples)
+            ts = _timed(img, top, ns)
             results.append(_stats(
                 ts, f"{src},scale={s}({H}x{W}),feats={top},n_scales={ns}"))
     # sweep (b): full-res, feature-count sweep (quick mode stays at the
@@ -174,7 +184,7 @@ def main():
     H, W = img.shape
     for ns in nscales_list:
         for nf in feats:
-            ts = time_config(img, nf, ns, iters, samples)
+            ts = _timed(img, nf, ns)
             results.append(_stats(
                 ts, f"{src},fullres*{bscale}({H}x{W}),feats={nf},"
                     f"n_scales={ns}"))
