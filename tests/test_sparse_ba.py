@@ -333,3 +333,54 @@ def test_sparse_ba_config5_scale():
     hist = np.asarray(res.cost_history)
     assert hist[-1] < hist[0], hist
     assert float(res.cost) < 5.0, float(res.cost)
+
+
+def test_sparse_ba_fixed_cams_hold_exactly():
+    """Cameras in fixed_cams must come back bit-identical while free
+    cameras move; the solve must still reduce cost."""
+    rng = np.random.default_rng(5)
+    intr, gt, init, tracks = _synthetic_problem(rng)
+    R0, t0, X0 = init
+    track_cams, track_uvs = tracks
+    n_cams = R0.shape[0]
+    blocks, c_win, _ = build_track_blocks(
+        track_cams, track_uvs, X0, n_cams, c_blk=4, halo=4)
+    fixed = np.zeros(n_cams, bool)
+    fixed[[0, 5, 11]] = True
+    res = sparse_bundle_adjust(
+        jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+        c_win, n_iters=4, cg_iters=15, fixed_cams=fixed)
+    hist = np.asarray(res.cost_history)
+    assert hist[-1] < hist[0]
+    np.testing.assert_array_equal(np.asarray(res.R)[fixed], R0[fixed])
+    np.testing.assert_array_equal(np.asarray(res.t)[fixed], t0[fixed])
+    moved = np.linalg.norm(np.asarray(res.t)[~fixed] - t0[~fixed], axis=1)
+    assert (moved > 0).any()
+
+
+def test_sparse_ba_smooth_damping_suppresses_zigzag():
+    """smooth_weight damps per-camera second-difference (zigzag) steps:
+    with a strong weight the adjusted trajectory's second difference
+    stays close to the (smooth) init's, while the undamped solve on a
+    noisy problem roughens it."""
+    rng = np.random.default_rng(6)
+    intr, gt, init, tracks = _synthetic_problem(rng, n_cams=16,
+                                                noise=1.5, drift=0.0)
+    R0, t0, X0 = init
+    track_cams, track_uvs = tracks
+    n_cams = R0.shape[0]
+    blocks, c_win, _ = build_track_blocks(
+        track_cams, track_uvs, X0, n_cams, c_blk=4, halo=4)
+
+    def d2(t):
+        c = np.einsum("cji,cj->ci", np.asarray(R0), -np.asarray(t))
+        return np.sqrt((np.diff(c, 2, axis=0) ** 2).sum(1).mean())
+
+    rough = []
+    for w in (0.0, 100.0):
+        res = sparse_bundle_adjust(
+            jnp.asarray(R0), jnp.asarray(t0), blocks, jnp.asarray(intr),
+            c_win, n_iters=4, cg_iters=15, smooth_weight=w)
+        c = np.einsum("cji,cj->ci", np.asarray(res.R), -np.asarray(res.t))
+        rough.append(np.sqrt((np.diff(c, 2, axis=0) ** 2).sum(1).mean()))
+    assert rough[1] < rough[0], rough
